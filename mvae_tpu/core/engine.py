@@ -1,0 +1,100 @@
+"""Multi-term ELBO engine — one compiled graph per optimizer step.
+
+The reference's training step runs one full eager forward PER ELBO subset
+term: 3 for mnist/fashionmnist/multimnist/celeba (mnist/train.py:200-202),
+7 for vision (vision/train.py:186-214), 21+ for celeba19
+(celeba19/train.py:260-304). Each forward re-encodes the same batch and
+re-decodes every modality.
+
+TPU-native reformulation (this module):
+
+  1. Encode each modality ONCE per step (the reference re-encodes the same
+     inputs for every term — identical results, wasted FLOPs).
+  2. Fuse all T subset posteriors at once: vmap(masked PoE) over a (T, M)
+     presence-mask matrix.
+  3. Reparametrize with a single (T, B, D) normal draw (independent noise per
+     term, matching the reference's independent forwards).
+  4. Decode all T terms in one vmapped pass — XLA folds the term axis into
+     the batch of every matmul/conv, so the MXU sees batch T*B.
+  5. Reduce the (T, M) masked/weighted losses + per-term KL in one fusion.
+
+BatchNorm note: decoders with BN are vmapped over the term axis, so batch
+statistics are per-term — the same statistics the reference's
+one-forward-per-term evaluation sees. Running stats get ONE EMA commit per
+step using the term-averaged batch statistics (the reference commits T
+sequential EMA updates; difference is O(momentum^2), documented in
+SURVEY-parity notes).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from mvae_tpu.core.poe import masked_product_of_experts
+from mvae_tpu.core.losses import kl_divergence
+
+
+def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
+                    rng, beta, *, train: bool):
+    """Compute sum over T subset-ELBO terms in one traced graph.
+
+    model:        MultimodalVAE (static).
+    inputs:       dict name -> (B, ...) arrays, ALL modalities present.
+    term_masks:   (T, M) 0/1 — which experts participate in each term's
+                  posterior AND which reconstruction losses count.
+    term_lambdas: (T, M) per-term per-modality loss weights.
+    beta:         KL annealing factor (scalar, traced).
+
+    Returns (total_loss, aux, new_state) where aux has per-term ELBOs and the
+    complete-term posterior (term 0 by convention).
+    """
+    M = len(model.modalities)
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+
+    # 1. encode every modality once
+    mu, logvar, enc_state = model.encode(params, state, inputs, rngs[0], train)
+    # mu, logvar: (M, B, D)
+
+    # 2. fuse every term's posterior
+    fuse = jax.vmap(masked_product_of_experts, in_axes=(None, None, 0))
+    pd_mu, pd_logvar = fuse(mu, logvar, term_masks)          # (T, B, D)
+
+    # 3. reparametrize (independent eps per term)
+    if train:
+        eps = jax.random.normal(rngs[1], pd_mu.shape, pd_mu.dtype)
+        z = pd_mu + eps * jnp.exp(0.5 * pd_logvar)
+    else:
+        z = pd_mu  # eval mode returns the mean (mnist/model.py:34-35)
+
+    # 4. decode all terms at once
+    T = term_masks.shape[0]
+    dec_keys = (jax.random.split(rngs[2], T) if rngs[2] is not None
+                else jnp.zeros((T, 2), jnp.uint32))
+    recons, dec_states = jax.vmap(
+        lambda zt, kt: model.decode(params, state, zt, kt, train)
+    )(z, dec_keys)
+    # recons[name]: (T, B, ...); dec_states: pytree stacked over T
+
+    # 5. masked, weighted reduction
+    per_mod = []
+    for name in model.modalities:
+        loss_fn = lambda lo, ta: model.recon_loss(name, lo, ta)  # noqa: E731
+        lm = jax.vmap(loss_fn, in_axes=(0, None))(recons[name], inputs[name])
+        per_mod.append(lm)                                    # (T, B)
+    recon_stack = jnp.stack(per_mod, axis=-1)                 # (T, B, M)
+    w = (term_masks * term_lambdas)[:, None, :]               # (T, 1, M)
+    recon = jnp.sum(recon_stack * w, axis=-1)                 # (T, B)
+
+    kld = kl_divergence(pd_mu, pd_logvar)                     # (T, B)
+    per_term = jnp.mean(recon + beta * kld, axis=1)           # (T,)
+    total = jnp.sum(per_term)
+
+    if train:
+        # enc subtree updated by the single encode pass; dec subtree stacked
+        # over the term axis — commit the term-mean as this step's EMA update.
+        dec_mean = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0),
+                                          dec_states)
+        new_state = model.merge_state(enc_state, dec_mean)
+    else:
+        new_state = state
+    aux = {"per_term": per_term, "mu": pd_mu[0], "logvar": pd_logvar[0]}
+    return total, aux, new_state

@@ -1,0 +1,41 @@
+"""Loss primitives with the reference's exact numerics.
+
+All decoders emit logits; activations live in the loss (noted at
+/root/reference/mnist/model.py:105,146).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def binary_cross_entropy_with_logits(logits, targets):
+    """Numerically stable sigmoid+BCE, elementwise.
+
+    Same closed form as the reference's hand-rolled version
+    (mnist/train.py:62-74): max(x,0) - x*t + log1p(exp(-|x|)).
+    """
+    return (jnp.maximum(logits, 0.0) - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def cross_entropy_with_logits(logits, labels, eps: float = 1e-6):
+    """k-class CE: -log_softmax(logits + eps)[label], per sample.
+
+    The reference (mnist/train.py:77-94) adds eps to the logits before
+    log_softmax and one-hot-reduces; then the caller sums the (N, K) one-hot
+    product over classes — net effect is the per-sample NLL. We return the
+    per-sample NLL directly.
+
+    logits: (..., K); labels: (...) int.
+    """
+    logp = jax.nn.log_softmax(logits + eps, axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+
+
+def kl_divergence(mu, logvar):
+    """Analytic KL(q || N(0, I)) summed over latent dims, per sample.
+
+    -0.5 * sum(1 + logvar - mu^2 - exp(logvar))   (mnist/train.py:56)
+    """
+    return -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar),
+                          axis=-1)

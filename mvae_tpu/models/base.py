@@ -1,0 +1,72 @@
+"""Model protocol: what the engine (core/engine.py) needs from an MVAE.
+
+The reference implements six near-identical MVAE containers, one per
+experiment (e.g. /root/reference/mnist/model.py:14-64). Here a model is one
+object exposing pure functions over pytrees; the container logic (fusion,
+reparametrization, multi-term batching) lives once in the engine.
+
+A model instance holds ONLY static configuration (sizes), so it is safe to
+close over inside jit.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from mvae_tpu.core.poe import masked_product_of_experts
+
+
+class MultimodalVAE:
+    """Subclasses define:
+
+    modalities: tuple[str, ...]           # stable ordering = expert order
+    init(key) -> (params, state)
+    encode(params, state, inputs, rng, train) -> (mu, logvar, new_state)
+        inputs: dict name -> (B, ...); returns stacked (M, B, D) posteriors.
+    decode(params, state, z, rng, train) -> (recons, new_state)
+        z: (B, D); recons: dict name -> (B, ...) logits.
+    recon_loss(name, logits, target) -> (B,) per-sample loss summed over
+        event dims (the reference's `torch.sum(..., dim=1)` reductions).
+
+    State convention: state = {"enc": ..., "dec": ...}. encode() returns the
+    updated "enc" subtree, decode() the updated "dec" subtree; merge_state
+    reassembles. Stateless models use empty dicts.
+    """
+
+    modalities: tuple = ()
+    n_latents: int = 0
+
+    # -- conveniences shared by every experiment ---------------------------
+
+    def modality_index(self, name: str) -> int:
+        return self.modalities.index(name)
+
+    def merge_state(self, enc_sub, dec_sub):
+        return {"enc": enc_sub, "dec": dec_sub}
+
+    def infer(self, params, state, inputs, *, rng=None, train: bool = False):
+        """Fuse the posterior for exactly the modalities present in `inputs`.
+
+        Mirrors MVAE.infer (mnist/model.py:46-64): prior expert plus one
+        expert per provided modality. Absent modalities still run through
+        their encoder (static graph) but are masked out of the product.
+        Inputs for absent modalities may be zero-filled placeholders.
+        """
+        mask = jnp.array([1.0 if m in inputs else 0.0 for m in self.modalities])
+        full = dict(inputs)
+        b = next(iter(inputs.values())).shape[0]
+        for m in self.modalities:
+            if m not in full:
+                full[m] = self.placeholder(m, b)
+        mu, logvar, _ = self.encode(params, state, full, rng, train)
+        return masked_product_of_experts(mu, logvar, mask)
+
+    def placeholder(self, name: str, batch: int):
+        """Zero-filled stand-in for an absent modality (masked out of the
+        PoE, so its value is irrelevant)."""
+        shape, dtype = self.input_spec()[name]
+        return jnp.zeros((batch,) + shape, dtype)
+
+    def input_spec(self):
+        """dict name -> (event_shape, dtype); used for placeholders and the
+        synthetic-data pipeline."""
+        raise NotImplementedError

@@ -1,0 +1,94 @@
+"""Configurable conv/deconv stacks — the shared shape of every image
+encoder/decoder in the reference (SURVEY.md §2.2):
+
+  encoder: [conv -> (BN) -> swish]* -> flatten -> fc(512) -> swish
+           -> (dropout) -> fc(2L)
+  decoder: fc -> swish (-> fc -> swish) -> reshape -> [convT -> BN -> swish]*
+           -> convT (logits, no activation)
+
+The reference re-declares these stacks five times with different channel
+tables (fashionmnist/model.py:70-121, multimnist/model.py:75-142,
+celeba/model.py:66-133, celeba19/model.py:92-159, vision/model.py:109-180);
+here one builder is parameterized by a spec list.
+
+Layout: NHWC activations, HWIO kernels (TPU-native).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from mvae_tpu.nn.conv import conv2d, conv_transpose2d
+from mvae_tpu.nn.initializers import (
+    conv_init, conv_transpose_init, linear_init)
+from mvae_tpu.nn.layers import linear, swish, dropout
+from mvae_tpu.nn.norm import batchnorm_init, batchnorm_apply
+
+# spec row: (c_out, kernel, stride, pad, use_bn)
+
+
+def conv_stack_init(key, c_in, specs):
+    params, state = [], []
+    keys = jax.random.split(key, len(specs))
+    for k, (c_out, kern, _s, _p, bn) in zip(keys, specs):
+        p = {"conv": conv_init(k, c_in, c_out, kern)}
+        st = {}
+        if bn:
+            p["bn"], st = batchnorm_init(c_out)
+        params.append(p)
+        state.append(st)
+        c_in = c_out
+    return params, state
+
+
+def conv_stack_apply(params, state, specs, x, *, train):
+    """swish after every block (BN before swish where configured)."""
+    new_state = []
+    for p, st, (_c, kern, s, pad, bn) in zip(params, state, specs):
+        x = conv2d(p["conv"], x, stride=s, padding=pad)
+        if bn:
+            x, st = batchnorm_apply(p["bn"], st, x, train=train)
+        new_state.append(st)
+        x = swish(x)
+    return x, new_state
+
+
+def deconv_stack_init(key, c_in, specs):
+    params, state = [], []
+    keys = jax.random.split(key, len(specs))
+    for k, (c_out, kern, _s, _p, bn) in zip(keys, specs):
+        p = {"conv": conv_transpose_init(k, c_in, c_out, kern)}
+        st = {}
+        if bn:
+            p["bn"], st = batchnorm_init(c_out)
+        params.append(p)
+        state.append(st)
+        c_in = c_out
+    return params, state
+
+
+def deconv_stack_apply(params, state, specs, x, *, train):
+    """BN+swish between layers; the FINAL convT emits raw logits."""
+    new_state = []
+    last = len(specs) - 1
+    for i, (p, st, (_c, kern, s, pad, bn)) in enumerate(
+            zip(params, state, specs)):
+        x = conv_transpose2d(p["conv"], x, stride=s, padding=pad)
+        if bn:
+            x, st = batchnorm_apply(p["bn"], st, x, train=train)
+        new_state.append(st)
+        if i != last:
+            x = swish(x)
+    return x, new_state
+
+
+def head_init(key, d_in, n_latents, *, hidden=512):
+    k1, k2 = jax.random.split(key)
+    return {"fc": linear_init(k1, d_in, hidden),
+            "out": linear_init(k2, hidden, 2 * n_latents)}
+
+
+def head_apply(params, x, *, rng, train, dropout_rate=0.0):
+    h = swish(linear(params["fc"], x))
+    if dropout_rate and train and rng is not None:
+        h = dropout(rng, h, dropout_rate, train)
+    return linear(params["out"], h)

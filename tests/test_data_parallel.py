@@ -1,0 +1,71 @@
+"""Sharded step == single-device step on the virtual 8-CPU mesh
+(SURVEY.md §4.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mvae_tpu.data.mnist import synthetic_mnist
+from mvae_tpu.models.mnist import MnistMVAE
+from mvae_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated, shard_params_tp)
+from mvae_tpu.train.loop import make_train_step, make_eval_step
+
+MASKS = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+LAMBDAS = [[1.0, 10.0]] * 3
+
+
+def _batch(n=64):
+    imgs, labels = synthetic_mnist(n, seed=9)
+    return {"image": jnp.asarray(imgs.reshape(n, 784)),
+            "text": jnp.asarray(labels)}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_step_matches_single_device():
+    model = MnistMVAE(8)
+    params, state = model.init(jax.random.key(0))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    batch = _batch()
+    rng = jax.random.key(7)
+
+    step = make_train_step(model, tx, MASKS, LAMBDAS)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    p0, s0, o0 = copy(params), copy(state), copy(opt_state)
+    p_s, _, _, _, loss_single, _ = step(p0, s0, o0, rng, batch, 0.3)
+
+    mesh = make_mesh()  # all 8 on "data"
+    rep = replicated(mesh)
+    params_d, state_d, opt_d = jax.device_put((params, state, opt_state), rep)
+    batch_d = {k: jax.device_put(v, batch_sharding(mesh))
+               for k, v in batch.items()}
+    p_d, _, _, _, loss_dp, _ = step(params_d, state_d, opt_d, rng,
+                                    batch_d, 0.3)
+
+    np.testing.assert_allclose(float(loss_single), float(loss_dp),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_s),
+                    jax.tree_util.tree_leaves(p_d)):
+        # cross-device reduction order perturbs f32 sums in the last ulps
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_sharded_params_same_eval():
+    model = MnistMVAE(8)
+    params, state = model.init(jax.random.key(0))
+    batch = _batch(32)
+    ev = make_eval_step(model, MASKS, LAMBDAS)
+    loss_single, _ = ev(params, state, batch)
+
+    mesh = make_mesh(data=4, model=2)
+    params_tp = shard_params_tp(params, mesh)
+    state_tp = jax.device_put(state, replicated(mesh))
+    batch_tp = {k: jax.device_put(v, batch_sharding(mesh))
+                for k, v in batch.items()}
+    loss_tp, _ = ev(params_tp, state_tp, batch_tp)
+    np.testing.assert_allclose(float(loss_single), float(loss_tp), rtol=1e-5)

@@ -1,0 +1,72 @@
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from mvae_tpu.core.losses import (
+    binary_cross_entropy_with_logits,
+    cross_entropy_with_logits,
+    kl_divergence,
+)
+from mvae_tpu.core.anneal import annealing_factor, annealing_factor_from_step
+
+
+def test_bce_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(scale=3.0, size=(50, 20)).astype(np.float32)
+    t = rng.random((50, 20)).astype(np.float32)
+    ours = np.asarray(binary_cross_entropy_with_logits(jnp.asarray(x),
+                                                       jnp.asarray(t)))
+    theirs = F.binary_cross_entropy_with_logits(
+        torch.from_numpy(x), torch.from_numpy(t), reduction="none").numpy()
+    # XLA and torch disagree in the last ~few ulps of exp/log1p at f32
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4)
+
+
+def test_bce_extreme_logits_stable():
+    x = jnp.asarray([[-100.0, 100.0, 0.0]])
+    t = jnp.asarray([[0.0, 1.0, 0.5]])
+    out = np.asarray(binary_cross_entropy_with_logits(x, t))
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out[0, :2], [0.0, 0.0], atol=1e-6)
+
+
+def test_cross_entropy_matches_reference_formula():
+    """The reference adds eps=1e-6 to logits before log_softmax
+    (mnist/train.py:77-94); shift-invariance of log_softmax makes it exact NLL."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(40, 10)).astype(np.float32)
+    y = rng.integers(0, 10, size=40).astype(np.int32)
+    ours = np.asarray(cross_entropy_with_logits(jnp.asarray(x), jnp.asarray(y)))
+    theirs = F.cross_entropy(torch.from_numpy(x),
+                             torch.from_numpy(y.astype(np.int64)),
+                             reduction="none").numpy()
+    # the reference's +1e-6 logit shift and f32 transcendental ulps
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4)
+
+
+def test_kld_analytic():
+    rng = np.random.default_rng(2)
+    mu = rng.normal(size=(7, 5)).astype(np.float32)
+    lv = rng.normal(size=(7, 5)).astype(np.float32)
+    ours = np.asarray(kl_divergence(jnp.asarray(mu), jnp.asarray(lv)))
+    want = -0.5 * np.sum(1 + lv - mu ** 2 - np.exp(lv), axis=1)
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+
+def test_annealing_schedule():
+    # epoch 1, batch 0, N=600, annealing 200 (mnist/train.py:182-183)
+    assert annealing_factor(1, 0, 600, 200) == 1.0 / (200 * 600)
+    assert annealing_factor(200, 0, 600, 200) == 1.0
+    assert annealing_factor(500, 10, 600, 200) == 1.0
+    mid = annealing_factor(100, 50, 600, 200)
+    assert abs(mid - (50 + 99 * 600 + 1) / (200 * 600)) < 1e-12
+
+
+def test_annealing_from_step_matches():
+    n_batches, ann = 600, 200
+    for epoch, b in [(1, 0), (5, 123), (199, 599), (200, 0), (300, 7)]:
+        step = b + (epoch - 1) * n_batches
+        a = annealing_factor(epoch, b, n_batches, ann)
+        b2 = float(annealing_factor_from_step(step, n_batches, ann))
+        assert abs(a - b2) < 1e-6, (epoch, b, a, b2)

@@ -1,0 +1,108 @@
+"""Golden-value parity of NN primitives vs PyTorch (SURVEY.md §4.3):
+fixed weights + fixed inputs -> identical outputs within tolerance."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from mvae_tpu.nn.conv import conv2d, conv_transpose2d
+from mvae_tpu.nn.norm import batchnorm_init, batchnorm_apply
+from mvae_tpu.nn.rnn import gru_cell, gru_layer, bigru_last_step
+
+torch.manual_seed(0)
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _to_nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+def test_conv2d_matches_torch():
+    rng = np.random.default_rng(0)
+    for (cin, cout, k, s, p, hw) in [(1, 64, 4, 2, 1, 28), (64, 128, 4, 2, 1, 14),
+                                     (128, 256, 4, 1, 0, 8)]:
+        x = rng.normal(size=(2, hw, hw, cin)).astype(np.float32)
+        tconv = torch.nn.Conv2d(cin, cout, k, s, p, bias=False)
+        w_oihw = tconv.weight.detach().numpy()
+        w_hwio = np.transpose(w_oihw, (2, 3, 1, 0))
+        ours = np.asarray(conv2d({"w": jnp.asarray(w_hwio)},
+                                 jnp.asarray(x), stride=s, padding=p))
+        theirs = _to_nhwc(tconv(_nchw(x)))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_transpose2d_matches_torch():
+    rng = np.random.default_rng(1)
+    for (cin, cout, k, s, p, hw) in [(256, 128, 4, 1, 0, 5), (128, 64, 4, 2, 1, 8),
+                                     (64, 32, 5, 2, 1, 16), (32, 1, 4, 2, 1, 24)]:
+        x = rng.normal(size=(2, hw, hw, cin)).astype(np.float32)
+        tconv = torch.nn.ConvTranspose2d(cin, cout, k, s, p, bias=False)
+        w_iohw = tconv.weight.detach().numpy()        # (in, out, kh, kw)
+        w_hwio = np.transpose(w_iohw, (2, 3, 1, 0))   # (kh, kw, out, in)
+        ours = np.asarray(conv_transpose2d({"w": jnp.asarray(w_hwio)},
+                                           jnp.asarray(x), stride=s, padding=p))
+        theirs = _to_nhwc(tconv(_nchw(x)))
+        assert ours.shape == theirs.shape, (ours.shape, theirs.shape)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_batchnorm_matches_torch_train_and_eval():
+    rng = np.random.default_rng(2)
+    c = 16
+    x = rng.normal(size=(8, 6, 6, c)).astype(np.float32)
+    tbn = torch.nn.BatchNorm2d(c)
+    params, state = batchnorm_init(c)
+    # train step
+    tbn.train()
+    theirs = _to_nhwc(tbn(_nchw(x)))
+    ours, new_state = batchnorm_apply(params, state, jnp.asarray(x), train=True)
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_state["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["var"]),
+                               tbn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+    # eval uses running stats
+    tbn.eval()
+    x2 = rng.normal(size=(4, 6, 6, c)).astype(np.float32)
+    theirs2 = _to_nhwc(tbn(_nchw(x2)))
+    ours2, _ = batchnorm_apply(params, new_state, jnp.asarray(x2), train=False)
+    np.testing.assert_allclose(np.asarray(ours2), theirs2, rtol=1e-4, atol=1e-4)
+
+
+def _gru_params_from_torch(tgru, layer=0, reverse=False):
+    sfx = f"_l{layer}" + ("_reverse" if reverse else "")
+    return {
+        "w_ih": jnp.asarray(getattr(tgru, f"weight_ih{sfx}").detach().numpy().T),
+        "w_hh": jnp.asarray(getattr(tgru, f"weight_hh{sfx}").detach().numpy().T),
+        "b_ih": jnp.asarray(getattr(tgru, f"bias_ih{sfx}").detach().numpy()),
+        "b_hh": jnp.asarray(getattr(tgru, f"bias_hh{sfx}").detach().numpy()),
+    }
+
+
+def test_gru_layer_matches_torch():
+    rng = np.random.default_rng(3)
+    T, B, D, H = 4, 3, 20, 16
+    x = rng.normal(size=(T, B, D)).astype(np.float32)
+    tgru = torch.nn.GRU(D, H, 1)
+    p = _gru_params_from_torch(tgru)
+    ys, hT = gru_layer(p, jnp.asarray(x), jnp.zeros((B, H)))
+    theirs, _ = tgru(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(ys), theirs.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bigru_last_step_matches_torch():
+    rng = np.random.default_rng(4)
+    T, B, D, H = 4, 3, 20, 16
+    x = rng.normal(size=(T, B, D)).astype(np.float32)
+    tgru = torch.nn.GRU(D, H, 1, bidirectional=True)
+    p_f = _gru_params_from_torch(tgru)
+    p_b = _gru_params_from_torch(tgru, reverse=True)
+    h_f, h_b = bigru_last_step(p_f, p_b, jnp.asarray(x))
+    out, _ = tgru(torch.from_numpy(x))
+    last = out[-1].detach().numpy()       # (B, 2H)
+    np.testing.assert_allclose(np.asarray(h_f), last[:, :H], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_b), last[:, H:], rtol=1e-4, atol=1e-5)
