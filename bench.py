@@ -1,0 +1,185 @@
+"""Benchmark: CelebA MVAE training throughput (steps/sec) on one TPU chip.
+
+The headline target (BASELINE.md): CelebA MVAE training steps/sec vs a
+PyTorch reference implementation of the same workload. The reference repo
+publishes no numbers and its code is Python-2-era, so the baseline is a
+faithful PyTorch re-measurement run locally (reference flow: THREE separate
+eager forwards per step — joint/image-only/attrs-only — each decoding both
+modalities; celeba/train.py:186-214-equivalent), cached in
+`BASELINE_local.json`.
+
+Ours: ONE jitted XLA step computing all three ELBO terms (encode once,
+masked-PoE fuse per term, batched decode).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+BATCH = 100
+N_LATENTS = 100
+WARMUP = 3
+ITERS = 30
+BASELINE_FILE = os.path.join(os.path.dirname(__file__),
+                             "BASELINE_local.json")
+
+
+def measure_ours():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mvae_tpu.models.celeba import CelebaMVAE, N_ATTRS
+    from mvae_tpu.train.loop import make_train_step
+
+    model = CelebaMVAE(N_LATENTS)
+    params, state = model.init(jax.random.key(0))
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, [[1., 1.], [1., 0.], [0., 1.]],
+                           [[10.0, 1.0]] * 3)
+    key = jax.random.key(1)
+    batch = {
+        "image": jax.random.uniform(key, (BATCH, 64, 64, 3), jnp.float32),
+        "attrs": (jax.random.uniform(key, (BATCH, N_ATTRS)) < 0.3
+                  ).astype(jnp.float32),
+    }
+    rng = jax.random.key(2)
+    args = (params, state, opt_state, rng, batch, 0.5)
+    for _ in range(WARMUP):
+        args = (*step(*args)[:4], batch, 0.5)
+    jax.block_until_ready(args[0])
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        args = (*step(*args)[:4], batch, 0.5)
+    jax.block_until_ready(args[0])
+    dt = time.perf_counter() - t0
+    return ITERS / dt
+
+
+def measure_torch_baseline(iters=3):
+    """Reference-equivalent PyTorch workload on this host (eager, three
+    forwards per step). Cached — delete BASELINE_local.json to re-measure."""
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)
+    import torch
+    import torch.nn as nn
+
+    class Swish(nn.Module):
+        def forward(self, x):
+            return x * torch.sigmoid(x)
+
+    L, A = N_LATENTS, 18
+
+    def enc():
+        return nn.Sequential(
+            nn.Conv2d(3, 32, 4, 2, 1, bias=False), Swish(),
+            nn.Conv2d(32, 64, 4, 2, 1, bias=False), nn.BatchNorm2d(64), Swish(),
+            nn.Conv2d(64, 128, 4, 2, 1, bias=False), nn.BatchNorm2d(128), Swish(),
+            nn.Conv2d(128, 256, 4, 1, 0, bias=False), nn.BatchNorm2d(256), Swish())
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc = enc()
+            self.enc_head = nn.Sequential(
+                nn.Linear(256 * 5 * 5, 512), Swish(), nn.Dropout(0.1),
+                nn.Linear(512, 2 * L))
+            self.dec_up = nn.Sequential(nn.Linear(L, 256 * 5 * 5), Swish())
+            self.dec = nn.Sequential(
+                nn.ConvTranspose2d(256, 128, 4, 1, 0, bias=False),
+                nn.BatchNorm2d(128), Swish(),
+                nn.ConvTranspose2d(128, 64, 4, 2, 1, bias=False),
+                nn.BatchNorm2d(64), Swish(),
+                nn.ConvTranspose2d(64, 32, 4, 2, 1, bias=False),
+                nn.BatchNorm2d(32), Swish(),
+                nn.ConvTranspose2d(32, 3, 4, 2, 1, bias=False))
+            self.attr_enc = nn.Sequential(
+                nn.Linear(A, 512), nn.BatchNorm1d(512), Swish(),
+                nn.Linear(512, 512), nn.BatchNorm1d(512), Swish(),
+                nn.Linear(512, 2 * L))
+            self.attr_dec = nn.Sequential(
+                nn.Linear(L, 512), nn.BatchNorm1d(512), Swish(),
+                nn.Linear(512, 512), nn.BatchNorm1d(512), Swish(),
+                nn.Linear(512, 512), nn.BatchNorm1d(512), Swish(),
+                nn.Linear(512, A))
+
+        def infer(self, image=None, attrs=None):
+            B = image.shape[0] if image is not None else attrs.shape[0]
+            mus, lvs = [torch.zeros(B, L)], [torch.zeros(B, L)]
+            if image is not None:
+                h = self.enc_head(self.enc(image).flatten(1))
+                mus.append(h[:, :L]); lvs.append(h[:, L:])
+            if attrs is not None:
+                h = self.attr_enc(attrs)
+                mus.append(h[:, :L]); lvs.append(h[:, L:])
+            mu, lv = torch.stack(mus), torch.stack(lvs)
+            t = 1.0 / (lv.exp() + 1e-8)
+            pd_mu = (mu * t).sum(0) / t.sum(0)
+            pd_lv = torch.log(1.0 / t.sum(0))
+            return pd_mu, pd_lv
+
+        def forward(self, image=None, attrs=None):
+            mu, lv = self.infer(image, attrs)
+            z = mu + torch.randn_like(mu) * (0.5 * lv).exp()
+            img = self.dec(self.dec_up(z).view(-1, 256, 5, 5))
+            att = self.attr_dec(z)
+            return img, att, mu, lv
+
+    def bce(x, t):
+        return (x.clamp(min=0) - x * t + torch.log1p((-x.abs()).exp()))
+
+    def elbo(img_r, img, att_r, att, mu, lv, beta=0.5):
+        loss = -0.5 * (1 + lv - mu ** 2 - lv.exp()).sum(1) * beta
+        if img_r is not None:
+            loss = loss + bce(img_r.flatten(1), img.flatten(1)).sum(1)
+        if att_r is not None:
+            loss = loss + 10.0 * bce(att_r, att).sum(1)
+        return loss.mean()
+
+    torch.manual_seed(0)
+    m = Model()
+    opt = torch.optim.Adam(m.parameters(), lr=1e-4)
+    image = torch.rand(BATCH, 3, 64, 64)
+    attrs = (torch.rand(BATCH, A) < 0.3).float()
+    m.train()
+    # warmup
+    for _ in range(1):
+        opt.zero_grad()
+        o = m(image, attrs); elbo(o[0], image, o[1], attrs, o[2], o[3]).backward()
+        opt.step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        opt.zero_grad()
+        a = m(image, attrs)
+        b = m(image, None)
+        c = m(None, attrs)
+        loss = (elbo(a[0], image, a[1], attrs, a[2], a[3])
+                + elbo(b[0], image, None, None, b[2], b[3])
+                + elbo(None, None, c[1], attrs, c[2], c[3]))
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    result = {"steps_per_sec": iters / dt,
+              "device": "cpu-torch-eager-reference-flow",
+              "iters": iters}
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def main():
+    baseline = measure_torch_baseline()
+    ours = measure_ours()
+    print(json.dumps({
+        "metric": "celeba_train_steps_per_sec",
+        "value": round(ours, 3),
+        "unit": "steps/sec (batch=100, 3 ELBO terms)",
+        "vs_baseline": round(ours / baseline["steps_per_sec"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
