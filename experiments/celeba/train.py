@@ -1,0 +1,33 @@
+"""CelebA MVAE training CLI — flag surface per
+/root/reference/celeba/train.py:121-138 (defaults: L=100, bs=100, 100
+epochs, anneal 20, lr 1e-4, lambda-attrs 10)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from mvae_tpu.data.celeba import load_celeba                     # noqa: E402
+from mvae_tpu.models.celeba import CelebaMVAE                    # noqa: E402
+from mvae_tpu.train.driver import run_training                   # noqa: E402
+from mvae_tpu.utils.cli import train_parser                      # noqa: E402
+
+TERM_MASKS = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+
+
+def main(argv=None):
+    args = train_parser(
+        n_latents=100, epochs=100, annealing_epochs=20, lr=1e-4,
+        lambda_flags=(("lambda-image", 1.0), ("lambda-attrs", 10.0)),
+    ).parse_args(argv)
+    train_ds = load_celeba(args.data_dir, 'train')
+    test_ds = load_celeba(args.data_dir, 'val')   # reference evals on val
+    model = CelebaMVAE(args.n_latents)
+    lambdas = [[args.lambda_image, args.lambda_attrs]] * 3
+    run_training(model, train_ds, test_ds, args, TERM_MASKS, lambdas,
+                 out_dir=args.out_dir,
+                 meta={"model": "celeba", "n_latents": args.n_latents})
+
+
+if __name__ == "__main__":
+    main()

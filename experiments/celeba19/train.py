@@ -1,0 +1,54 @@
+"""CelebA-19 MVAE training CLI — flag surface per
+/root/reference/celeba19/train.py:183-204 including --approx-m. The
+reference's 20+m sequential eager forwards per step (:260-304) are ONE
+jitted multi-term step here: the per-step sampled subset masks enter as a
+runtime array. (Also fixes the reference's undefined args.out_dir at :355.)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np                                               # noqa: E402
+
+from mvae_tpu.core.subsets import (                              # noqa: E402
+    celeba19_step_terms, celeba19_static_terms)
+from mvae_tpu.data.celeba import load_celeba                     # noqa: E402
+from mvae_tpu.models.celeba19 import Celeba19MVAE, N_ATTRS       # noqa: E402
+from mvae_tpu.train.driver import run_training                   # noqa: E402
+from mvae_tpu.utils.cli import train_parser                      # noqa: E402
+
+
+def main(argv=None):
+    p = train_parser(
+        n_latents=100, epochs=100, annealing_epochs=20, lr=1e-4,
+        lambda_flags=(("lambda-image", 1.0), ("lambda-attrs", 10.0)))
+    p.add_argument('--approx-m', type=int, default=1,
+                   help='number of sampled ELBO subset terms [default: 1]')
+    args = p.parse_args(argv)
+
+    train_ds = load_celeba(args.data_dir, 'train')
+    test_ds = load_celeba(args.data_dir, 'val')
+    model = Celeba19MVAE(args.n_latents)
+
+    static_m, static_l = celeba19_static_terms(
+        N_ATTRS, args.lambda_image, args.lambda_attrs)
+
+    def make_masks(np_rng):
+        return celeba19_step_terms(np_rng, args.approx_m, N_ATTRS,
+                                   args.lambda_image, args.lambda_attrs)
+
+    # eval: joint term only, default lambdas (celeba19/train.py:332-334)
+    eval_masks = np.ones((1, 1 + N_ATTRS), np.float32)
+    eval_lambdas = np.ones((1, 1 + N_ATTRS), np.float32)
+
+    run_training(model, train_ds, test_ds, args, static_m, static_l,
+                 out_dir=args.out_dir,
+                 meta={"model": "celeba19", "n_latents": args.n_latents},
+                 make_masks=make_masks,
+                 eval_term_masks=eval_masks, eval_term_lambdas=eval_lambdas)
+
+
+if __name__ == "__main__":
+    main()

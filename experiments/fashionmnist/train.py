@@ -1,0 +1,35 @@
+"""FashionMNIST MVAE training CLI — flag surface per
+/root/reference/fashionmnist/train.py:132-154. Note: the reference's
+annealing schedule here had an off-by-one (`epoch` vs `epoch-1`,
+fashionmnist/train.py:182); we standardize on the mnist form (SURVEY §2.6).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from mvae_tpu.data.mnist import load_mnist                       # noqa: E402
+from mvae_tpu.models.fashionmnist import FashionMnistMVAE        # noqa: E402
+from mvae_tpu.train.driver import run_training                   # noqa: E402
+from mvae_tpu.utils.cli import train_parser                      # noqa: E402
+
+TERM_MASKS = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+
+
+def main(argv=None):
+    args = train_parser(n_latents=64, epochs=500, annealing_epochs=200,
+                        lr=1e-3).parse_args(argv)
+    train_ds = load_mnist(args.data_dir, train=True,
+                          variant="FashionMNIST", flatten=False)
+    test_ds = load_mnist(args.data_dir, train=False,
+                         variant="FashionMNIST", flatten=False)
+    model = FashionMnistMVAE(args.n_latents)
+    lambdas = [[args.lambda_image, args.lambda_text]] * 3
+    run_training(model, train_ds, test_ds, args, TERM_MASKS, lambdas,
+                 out_dir=args.out_dir,
+                 meta={"model": "fashionmnist", "n_latents": args.n_latents})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+"""MultiMNIST MVAE training CLI — flag surface per
+/root/reference/multimnist/train.py (defaults: L=64, bs=100, 500 epochs,
+anneal 200, lr 1e-3, lambda-text 10)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from mvae_tpu.data.multimnist import load_multimnist             # noqa: E402
+from mvae_tpu.models.multimnist import MultiMnistMVAE            # noqa: E402
+from mvae_tpu.train.driver import run_training                   # noqa: E402
+from mvae_tpu.utils.cli import train_parser                      # noqa: E402
+
+TERM_MASKS = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+
+
+def main(argv=None):
+    args = train_parser(n_latents=64, epochs=500, annealing_epochs=200,
+                        lr=1e-3).parse_args(argv)
+    train_ds = load_multimnist(args.data_dir, train=True)
+    test_ds = load_multimnist(args.data_dir, train=False)
+    model = MultiMnistMVAE(args.n_latents)
+    lambdas = [[args.lambda_image, args.lambda_text]] * 3
+    run_training(model, train_ds, test_ds, args, TERM_MASKS, lambdas,
+                 out_dir=args.out_dir,
+                 meta={"model": "multimnist", "n_latents": args.n_latents})
+
+
+if __name__ == "__main__":
+    main()

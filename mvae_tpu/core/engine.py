@@ -74,13 +74,11 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
     )(z, dec_keys)
     # recons[name]: (T, B, ...); dec_states: pytree stacked over T
 
-    # 5. masked, weighted reduction
-    per_mod = []
-    for name in model.modalities:
-        loss_fn = lambda lo, ta: model.recon_loss(name, lo, ta)  # noqa: E731
-        lm = jax.vmap(loss_fn, in_axes=(0, None))(recons[name], inputs[name])
-        per_mod.append(lm)                                    # (T, B)
-    recon_stack = jnp.stack(per_mod, axis=-1)                 # (T, B, M)
+    # 5. masked, weighted reduction. recon_losses gives (B, M) per term —
+    # M = number of EXPERTS (celeba19's 18 per-attribute experts are columns
+    # of one vectorized call, not a Python loop).
+    recon_stack = jax.vmap(
+        lambda rt: model.recon_losses(rt, inputs))(recons)    # (T, B, M)
     w = (term_masks * term_lambdas)[:, None, :]               # (T, 1, M)
     recon = jnp.sum(recon_stack * w, axis=-1)                 # (T, B)
 

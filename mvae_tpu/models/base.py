@@ -43,6 +43,13 @@ class MultimodalVAE:
     def merge_state(self, enc_sub, dec_sub):
         return {"enc": enc_sub, "dec": dec_sub}
 
+    def recon_losses(self, recons, inputs):
+        """(B, M) per-sample loss, one column per EXPERT. Default: one
+        modality == one expert. Models with grouped experts (celeba19's 18
+        attribute columns) override this with a vectorized version."""
+        return jnp.stack([self.recon_loss(n, recons[n], inputs[n])
+                          for n in self.modalities], axis=-1)
+
     def infer(self, params, state, inputs, *, rng=None, train: bool = False):
         """Fuse the posterior for exactly the modalities present in `inputs`.
 

@@ -28,9 +28,12 @@ from mvae_tpu.train.checkpoint import (
 
 
 def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
-                 *, out_dir, meta, make_masks=None):
+                 *, out_dir, meta, make_masks=None, eval_term_masks=None,
+                 eval_term_lambdas=None):
     """make_masks: optional fn(np_rng) -> (masks, lambdas) per-step arrays for
-    experiments with sampled ELBO terms (celeba19)."""
+    experiments with sampled ELBO terms (celeba19). eval_term_masks/lambdas
+    override the eval-time terms (celeba19 evals on the joint term only,
+    celeba19/train.py:332-334)."""
     tx = optax.adam(args.lr)
     key = jax.random.key(getattr(args, "seed", 0))
     key, init_key = jax.random.split(key)
@@ -66,7 +69,10 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
     dynamic = make_masks is not None
     train_step = L.make_train_step(model, tx, term_masks, term_lambdas,
                                    dynamic_masks=dynamic)
-    eval_step = L.make_eval_step(model, term_masks, term_lambdas)
+    eval_step = L.make_eval_step(
+        model,
+        term_masks if eval_term_masks is None else eval_term_masks,
+        term_lambdas if eval_term_lambdas is None else eval_term_lambdas)
     n_batches = num_batches(len(train_ds), args.batch_size, True)
     mask_rng = np.random.default_rng(getattr(args, "seed", 0) + 1)
 

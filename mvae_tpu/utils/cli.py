@@ -1,0 +1,39 @@
+"""Shared argparse construction — keeps the reference's exact per-experiment
+flag surfaces (SURVEY.md §5) without six copies of the parser."""
+
+import argparse
+
+
+def train_parser(*, n_latents, epochs, annealing_epochs, lr, batch_size=100,
+                 lambda_flags=(("lambda-image", 1.0), ("lambda-text", 10.0))):
+    p = argparse.ArgumentParser()
+    p.add_argument('--n-latents', type=int, default=n_latents,
+                   help=f'size of the latent embedding [default: {n_latents}]')
+    p.add_argument('--batch-size', type=int, default=batch_size, metavar='N')
+    p.add_argument('--epochs', type=int, default=epochs, metavar='N')
+    p.add_argument('--annealing-epochs', type=int, default=annealing_epochs,
+                   metavar='N')
+    p.add_argument('--lr', type=float, default=lr, metavar='LR')
+    p.add_argument('--log-interval', type=int, default=10, metavar='N')
+    for name, default in lambda_flags:
+        p.add_argument(f'--{name}', type=float, default=default)
+    p.add_argument('--cuda', action='store_true', default=False,
+                   help='kept for CLI parity; devices are auto-selected')
+    p.add_argument('--data-dir', type=str, default='./data')
+    p.add_argument('--out-dir', type=str, default='./trained_models')
+    p.add_argument('--resume', type=str, default=None)
+    p.add_argument('--seed', type=int, default=0)
+    return p
+
+
+def sample_parser(**extra_flags):
+    p = argparse.ArgumentParser()
+    p.add_argument('model_path', type=str, help='path to trained model file')
+    p.add_argument('--n-samples', type=int, default=64)
+    p.add_argument('--cuda', action='store_true', default=False)
+    p.add_argument('--data-dir', type=str, default='./data')
+    p.add_argument('--out-dir', type=str, default='.')
+    p.add_argument('--seed', type=int, default=0)
+    for name, kw in extra_flags.items():
+        p.add_argument(f'--{name.replace("_", "-")}', **kw)
+    return p

@@ -1,0 +1,101 @@
+"""CelebA-19: stacked-expert correctness, subset-sampler invariants
+(SURVEY.md §4.1), and the 20+m-term step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mvae_tpu.core.engine import multi_term_elbo
+from mvae_tpu.core.subsets import (
+    sample_subset_masks, celeba19_static_terms, celeba19_step_terms)
+from mvae_tpu.models.celeba19 import Celeba19MVAE, N_ATTRS
+from mvae_tpu.nn.layers import swish
+from mvae_tpu.train.loop import make_train_step
+
+
+def _batch(b=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"image": jnp.asarray(rng.random((b, 64, 64, 3), np.float32)),
+            "attrs": jnp.asarray(
+                (rng.random((b, N_ATTRS)) < 0.4).astype(np.float32))}
+
+
+def test_stacked_attr_encoder_matches_per_expert_loop():
+    model = Celeba19MVAE(8)
+    params, state = model.init(jax.random.key(0))
+    batch = _batch()
+    mu, logvar, _ = model.encode(params, state, batch, None, False)
+    assert mu.shape == (19, 4, 8)
+
+    # re-derive expert i's posterior with plain per-expert math
+    pe = params["attr_enc_experts"]
+    a = np.asarray(batch["attrs"])
+    for i in [0, 7, 17]:
+        emb = np.asarray(pe["embed"])[i][a[:, i].astype(int)]   # (B, 512)
+        h = np.asarray(swish(jnp.asarray(emb)))
+        h = np.asarray(swish(
+            jnp.asarray(h @ np.asarray(pe["fc"]["w"][i])
+                        + np.asarray(pe["fc"]["b"][i]))))
+        out = h @ np.asarray(pe["head"]["w"][i]) + np.asarray(pe["head"]["b"][i])
+        np.testing.assert_allclose(np.asarray(mu[1 + i]), out[:, :8],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(logvar[1 + i]), out[:, 8:],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_subset_sampler_invariants():
+    rng = np.random.default_rng(0)
+    masks = sample_subset_masks(rng, 500, 19)
+    sizes = masks.sum(axis=1)
+    assert sizes.min() >= 2 and sizes.max() <= 18   # no singleton/full sets
+    # stratified-by-size: every size class appears over many draws
+    assert len(np.unique(sizes)) == 17
+    assert set(np.unique(masks)) == {0.0, 1.0}
+
+
+def test_term_count_invariant():
+    # n_elbo_terms == (N+1) + 1 + m  (celeba19/train.py:304)
+    rng = np.random.default_rng(1)
+    for m in [0, 1, 5]:
+        masks, lambdas = celeba19_step_terms(rng, m, N_ATTRS, 1.0, 10.0)
+        assert masks.shape == ((N_ATTRS + 1) + 1 + m, 19)
+        assert lambdas.shape == masks.shape
+    static_m, static_l = celeba19_static_terms(N_ATTRS, 2.0, 5.0)
+    assert static_m[0].sum() == 19            # complete
+    assert static_m[1].sum() == 1 and static_m[1, 0] == 1   # image-only
+    # single-attribute terms use default lambdas 1.0
+    np.testing.assert_array_equal(static_l[2:], np.ones((18, 19)))
+    assert static_l[0, 0] == 2.0 and static_l[0, 1] == 5.0
+
+
+def test_celeba19_full_step_21_terms():
+    model = Celeba19MVAE(8)
+    params, state = model.init(jax.random.key(0))
+    tx = optax.adam(1e-4)
+    rng = np.random.default_rng(2)
+    masks, lambdas = celeba19_step_terms(rng, 1, N_ATTRS, 1.0, 10.0)
+    step = make_train_step(model, tx, None, None, dynamic_masks=True)
+    p, s, o, r, loss, per_term = step(
+        params, state, tx.init(params), jax.random.key(3), _batch(), 0.5,
+        jnp.asarray(masks), jnp.asarray(lambdas))
+    assert per_term.shape == (21,)
+    assert np.isfinite(float(loss))
+
+
+def test_celeba19_masked_term_ignores_masked_losses():
+    """An attr-only term's loss must not change when the image changes."""
+    model = Celeba19MVAE(8)
+    params, state = model.init(jax.random.key(0))
+    masks = np.zeros((1, 19), np.float32)
+    masks[0, 3] = masks[0, 5] = 1.0          # attrs 2 and 4 only
+    lambdas = np.ones_like(masks)
+    b1, b2 = _batch(seed=3), _batch(seed=3)
+    b2["image"] = b2["image"] + 0.123        # perturb the masked-out modality
+    out1, _, _ = multi_term_elbo(model, params, state, b1,
+                                 jnp.asarray(masks), jnp.asarray(lambdas),
+                                 None, 1.0, train=False)
+    out2, _, _ = multi_term_elbo(model, params, state, b2,
+                                 jnp.asarray(masks), jnp.asarray(lambdas),
+                                 None, 1.0, train=False)
+    np.testing.assert_allclose(float(out1), float(out2), rtol=1e-6)
