@@ -29,11 +29,13 @@ from mvae_tpu.train.checkpoint import (
 
 def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                  *, out_dir, meta, make_masks=None, eval_term_masks=None,
-                 eval_term_lambdas=None):
+                 eval_term_lambdas=None, post_epoch=None):
     """make_masks: optional fn(np_rng) -> (masks, lambdas) per-step arrays for
     experiments with sampled ELBO terms (celeba19). eval_term_masks/lambdas
     override the eval-time terms (celeba19 evals on the joint term only,
-    celeba19/train.py:332-334)."""
+    celeba19/train.py:332-334). post_epoch: optional fn(epoch, params, state)
+    run after each eval (vision's reconstruction-grid dumps,
+    vision/train.py:335-368)."""
     tx = optax.adam(args.lr)
     key = jax.random.key(getattr(args, "seed", 0))
     key, init_key = jax.random.split(key)
@@ -111,6 +113,9 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
             loss, _ = eval_step(params, state, place(batch))
             test_meter.update(float(loss), len(next(iter(batch.values()))))
         L.log_test(test_meter.avg)
+
+        if post_epoch is not None:
+            post_epoch(epoch, params, state)
 
         is_best = test_meter.avg < best_loss
         best_loss = min(test_meter.avg, best_loss)
