@@ -33,6 +33,11 @@ from mvae_tpu.core.poe import masked_product_of_experts
 from mvae_tpu.core.losses import kl_divergence
 
 
+def _use_pallas() -> bool:
+    from mvae_tpu import ops
+    return ops.use_pallas() and len(jax.devices()) == 1
+
+
 def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
                     rng, beta, *, train: bool):
     """Compute sum over T subset-ELBO terms in one traced graph.
@@ -54,9 +59,18 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
     mu, logvar, enc_state = model.encode(params, state, inputs, rngs[0], train)
     # mu, logvar: (M, B, D)
 
-    # 2. fuse every term's posterior
-    fuse = jax.vmap(masked_product_of_experts, in_axes=(None, None, 0))
-    pd_mu, pd_logvar = fuse(mu, logvar, term_masks)          # (T, B, D)
+    # 2. fuse every term's posterior. The Pallas all-terms kernel wins when
+    # the (T, M) term/expert plane is large (measured +25% end-to-end on
+    # celeba19's 21x19 step); for small planes (mnist's 3x2) XLA's fused
+    # vmap form is faster — shape-aware dispatch, single-chip TPU only
+    # (GSPMD paths keep the jnp form so XLA owns the sharding).
+    T_, M_ = term_masks.shape
+    if _use_pallas() and T_ * M_ >= 64:
+        from mvae_tpu.ops.poe_pallas import masked_poe_all_terms
+        pd_mu, pd_logvar = masked_poe_all_terms(mu, logvar, term_masks)
+    else:
+        fuse = jax.vmap(masked_product_of_experts, in_axes=(None, None, 0))
+        pd_mu, pd_logvar = fuse(mu, logvar, term_masks)      # (T, B, D)
 
     # 3. reparametrize (independent eps per term)
     if train:

@@ -32,6 +32,24 @@ def cross_entropy_with_logits(logits, labels, eps: float = 1e-6):
     return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
 
 
+def bce_row_sum(logits, targets):
+    """sum(BCE-with-logits, axis=-1) over trailing dim of a 2-D batch.
+
+    The Pallas kernel (ops/elbo_pallas.py) is opt-in via MVAE_PALLAS=1:
+    measured on v5e, XLA's fused elementwise+reduce beats it at our shapes
+    (375us vs 762us at 700x12288) — per the TPU guide, don't hand-schedule
+    what the compiler already fuses. Kept for larger-row future workloads
+    and as the kernel-authoring reference."""
+    import os
+    import jax
+    if (os.environ.get("MVAE_PALLAS") == "1"
+            and len(jax.devices()) == 1 and logits.ndim == 2):
+        from mvae_tpu import ops
+        return ops.bce_sum(logits, targets)
+    return jnp.sum(binary_cross_entropy_with_logits(
+        logits, targets.astype(logits.dtype)), axis=-1)
+
+
 def kl_divergence(mu, logvar):
     """Analytic KL(q || N(0, I)) summed over latent dims, per sample.
 

@@ -133,18 +133,39 @@ def mk_dataset(n, digits_pool, labels_pool, rng, *, min_digits=0,
     return images, texts
 
 
-def make_dataset(root="./data", *, n_train=60000, n_test=10000, **opts):
+def make_dataset(root="./data", *, n_train=60000, n_test=10000,
+                 use_native=None, **opts):
     """Generate and cache both splits (reference entry:
-    multimnist/datasets.py:293-342, seed at :187/:273)."""
+    multimnist/datasets.py:293-342, seed at :187/:273).
+
+    The default random path runs through the native C++ compositor
+    (native/mvae_native.cc) when it builds — ~2 orders of magnitude faster
+    than the Python loop for the 60k/10k canonical sizes. The numpy path
+    remains the reference implementation and serves the fixed/scramble
+    variants. Both are deterministic; they use different (documented) RNGs.
+    """
     from mvae_tpu.data.mnist import load_mnist
     out_dir = os.path.join(root, "multimnist")
     os.makedirs(out_dir, exist_ok=True)
+    native_ok = False
+    if not opts.get("fixed") and use_native is not False:
+        from mvae_tpu.data import native
+        native_ok = native.available()
     for split, n in (("training", n_train), ("test", n_test)):
         src = load_mnist(root, train=(split == "training"), flatten=False)
         digits = (src.arrays["image"].reshape(-1, 28, 28) * 255.0)
         labels = src.arrays["text"]
-        rng = np.random.default_rng(SEED)
-        images, texts = mk_dataset(n, digits, labels, rng, **opts)
+        if native_ok:
+            from mvae_tpu.data import native
+            images, texts = native.multimnist_generate(
+                digits.astype(np.uint8), labels, n,
+                min_digits=opts.get("min_digits", 0),
+                max_digits=opts.get("max_digits", 4),
+                resize=opts.get("resize", True),
+                translate=opts.get("translate", True), seed=SEED)
+        else:
+            rng = np.random.default_rng(SEED)
+            images, texts = mk_dataset(n, digits, labels, rng, **opts)
         np.savez_compressed(os.path.join(out_dir, f"{split}.npz"),
                             images=images, texts=texts)
     return out_dir

@@ -1,0 +1,86 @@
+"""ctypes bindings for the native host-pipeline library (native/).
+
+Builds lazily with g++ on first use (no pybind11 in this image — C ABI +
+ctypes per the environment's binding guidance). Every native function has a
+numpy fallback; `available()` gates usage."""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libmvae_native.so")
+_lib = None
+
+
+def _build():
+    subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True)
+
+
+def load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        try:
+            _build()
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    lib = ctypes.CDLL(_SO)
+    lib.mvae_native_abi_version.restype = ctypes.c_int
+    assert lib.mvae_native_abi_version() == 1
+    lib.multimnist_generate.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p]
+    for f in (lib.gather_rows_u8, lib.gather_rows_f32):
+        f.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                      ctypes.c_int64, ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        return load() is not None
+    except Exception:
+        return False
+
+
+def multimnist_generate(digits: np.ndarray, labels: np.ndarray, n_out: int,
+                        *, min_digits=0, max_digits=4, resize=True,
+                        translate=True, seed=681307):
+    """digits: (N, 28, 28) uint8; labels: (N,) int32.
+    Returns (images (n_out, 50, 50) uint8, texts (n_out, 4) int32)."""
+    lib = load()
+    digits = np.ascontiguousarray(digits, np.uint8)
+    labels = np.ascontiguousarray(labels, np.int32)
+    images = np.empty((n_out, 50, 50), np.uint8)
+    texts = np.empty((n_out, 4), np.int32)
+    lib.multimnist_generate(
+        digits.ctypes.data, labels.ctypes.data,
+        len(digits), n_out, min_digits, max_digits,
+        int(resize), int(translate), seed,
+        images.ctypes.data, texts.ctypes.data)
+    return images, texts
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Contiguous batch gather via native memcpy loop."""
+    lib = load()
+    src = np.ascontiguousarray(src)
+    idx = np.ascontiguousarray(idx, np.int64)
+    out = np.empty((len(idx),) + src.shape[1:], src.dtype)
+    row = int(np.prod(src.shape[1:], dtype=np.int64))
+    if src.dtype == np.uint8:
+        lib.gather_rows_u8(src.ctypes.data, idx.ctypes.data,
+                           out.ctypes.data, len(idx), row)
+    elif src.dtype == np.float32:
+        lib.gather_rows_f32(src.ctypes.data, idx.ctypes.data,
+                            out.ctypes.data, len(idx), row)
+    else:
+        return src[idx]
+    return out

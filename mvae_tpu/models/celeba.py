@@ -23,7 +23,7 @@ from mvae_tpu.nn.dcgan import (
 from mvae_tpu.nn.initializers import linear_init
 from mvae_tpu.nn.layers import linear, swish
 from mvae_tpu.nn.norm import batchnorm_init, batchnorm_apply
-from mvae_tpu.core.losses import binary_cross_entropy_with_logits
+from mvae_tpu.core.losses import bce_row_sum
 
 ENC_SPECS = [(32, 4, 2, 1, False), (64, 4, 2, 1, True),
              (128, 4, 2, 1, True), (256, 4, 1, 0, True)]   # 64->32->16->8->5
@@ -116,4 +116,4 @@ class CelebaMVAE(MultimodalVAE):
     def recon_loss(self, name, logits, target):
         lo = logits.reshape(logits.shape[0], -1)
         ta = target.reshape(target.shape[0], -1).astype(jnp.float32)
-        return jnp.sum(binary_cross_entropy_with_logits(lo, ta), axis=-1)
+        return bce_row_sum(lo, ta)

@@ -27,7 +27,8 @@ from mvae_tpu.nn.dcgan import (
     head_init, head_apply)
 from mvae_tpu.nn.initializers import linear_init, embedding_init
 from mvae_tpu.nn.layers import linear, swish
-from mvae_tpu.core.losses import binary_cross_entropy_with_logits
+from mvae_tpu.core.losses import (
+    binary_cross_entropy_with_logits, bce_row_sum)
 from mvae_tpu.core.poe import masked_product_of_experts
 
 N_ATTRS = 18
@@ -127,10 +128,10 @@ class Celeba19MVAE(MultimodalVAE):
         """(B, 19): summed pixel BCE column + 18 per-attribute scalar BCEs
         (celeba19/train.py:50-57: image sums over pixels, each attribute is
         a single-logit BCE)."""
-        img = jnp.sum(binary_cross_entropy_with_logits(
+        img = bce_row_sum(
             recons["image"].reshape(recons["image"].shape[0], -1),
-            inputs["image"].reshape(inputs["image"].shape[0], -1)),
-            axis=-1, keepdims=True)                              # (B, 1)
+            inputs["image"].reshape(inputs["image"].shape[0], -1)
+        )[:, None]                                               # (B, 1)
         att = binary_cross_entropy_with_logits(
             recons["attrs"], inputs["attrs"].astype(jnp.float32))  # (B, 18)
         return jnp.concatenate([img, att], axis=-1)
@@ -141,7 +142,7 @@ class Celeba19MVAE(MultimodalVAE):
     def recon_loss(self, name, logits, target):
         lo = logits.reshape(logits.shape[0], -1)
         ta = target.reshape(target.shape[0], -1).astype(jnp.float32)
-        return jnp.sum(binary_cross_entropy_with_logits(lo, ta), axis=-1)
+        return bce_row_sum(lo, ta)
 
     # -- conditioning -------------------------------------------------------
 

@@ -19,7 +19,7 @@ from mvae_tpu.nn.dcgan import (
 from mvae_tpu.nn.initializers import linear_init, embedding_init
 from mvae_tpu.nn.layers import linear, swish, mlp_init, mlp_apply
 from mvae_tpu.core.losses import (
-    binary_cross_entropy_with_logits, cross_entropy_with_logits)
+    bce_row_sum, cross_entropy_with_logits)
 
 ENC_SPECS = [(64, 4, 2, 1, False), (128, 4, 2, 1, False)]   # 28->14->7
 DEC_SPECS = [(64, 4, 2, 1, False), (1, 4, 2, 1, False)]     # 7->14->28
@@ -82,5 +82,5 @@ class FashionMnistMVAE(MultimodalVAE):
         if name == "image":
             lo = logits.reshape(logits.shape[0], -1)
             ta = target.reshape(target.shape[0], -1)
-            return jnp.sum(binary_cross_entropy_with_logits(lo, ta), axis=-1)
+            return bce_row_sum(lo, ta)
         return cross_entropy_with_logits(logits, target)

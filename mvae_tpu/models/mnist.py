@@ -18,7 +18,7 @@ from mvae_tpu.models.base import MultimodalVAE
 from mvae_tpu.nn.initializers import linear_init, embedding_init
 from mvae_tpu.nn.layers import linear, swish, mlp_init, mlp_apply
 from mvae_tpu.core.losses import (
-    binary_cross_entropy_with_logits,
+    bce_row_sum,
     cross_entropy_with_logits,
 )
 
@@ -75,5 +75,5 @@ class MnistMVAE(MultimodalVAE):
     def recon_loss(self, name, logits, target):
         if name == "image":
             t = target.reshape(target.shape[0], -1)
-            return jnp.sum(binary_cross_entropy_with_logits(logits, t), axis=-1)
+            return bce_row_sum(logits, t)
         return cross_entropy_with_logits(logits, target)

@@ -29,7 +29,7 @@ from mvae_tpu.nn.initializers import linear_init, embedding_init, gru_init
 from mvae_tpu.nn.layers import linear, swish, dropout
 from mvae_tpu.nn.rnn import gru_cell, gru_layer, bigru_last_step
 from mvae_tpu.core.losses import (
-    binary_cross_entropy_with_logits, cross_entropy_with_logits)
+    bce_row_sum, cross_entropy_with_logits)
 
 ENC_SPECS = [(32, 4, 2, 1, False), (64, 4, 2, 1, True),
              (128, 4, 2, 1, True), (256, 4, 2, 0, True)]   # 50->25->12->6->2
@@ -130,6 +130,6 @@ class MultiMnistMVAE(MultimodalVAE):
         if name == "image":
             lo = logits.reshape(logits.shape[0], -1)
             ta = target.reshape(target.shape[0], -1)
-            return jnp.sum(binary_cross_entropy_with_logits(lo, ta), axis=-1)
+            return bce_row_sum(lo, ta)
         # CE per digit position, summed over the 4 positions (:54-61)
         return jnp.sum(cross_entropy_with_logits(logits, target), axis=-1)

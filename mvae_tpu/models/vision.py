@@ -21,7 +21,7 @@ from mvae_tpu.nn.dcgan import (
     head_init, head_apply)
 from mvae_tpu.nn.initializers import linear_init
 from mvae_tpu.nn.layers import linear, swish
-from mvae_tpu.core.losses import binary_cross_entropy_with_logits
+from mvae_tpu.core.losses import bce_row_sum
 
 N_MODALITIES = 6
 MODALITIES = ("image", "gray", "edge", "mask", "obscured", "watermark")
@@ -98,4 +98,4 @@ class VisionMVAE(MultimodalVAE):
     def recon_loss(self, name, logits, target):
         lo = logits.reshape(logits.shape[0], -1)
         ta = target.reshape(target.shape[0], -1)
-        return jnp.sum(binary_cross_entropy_with_logits(lo, ta), axis=-1)
+        return bce_row_sum(lo, ta)

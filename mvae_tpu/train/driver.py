@@ -85,6 +85,10 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
         s = batch_sharding(mesh)
         return {k: jax.device_put(v, s) for k, v in batch.items()}
 
+    from mvae_tpu.utils.profiling import StepTimer, maybe_trace
+    profile_dir = getattr(args, "profile_dir", None)
+    timer = StepTimer()
+
     for epoch in range(start_epoch, args.epochs + 1):
         meter = L.AverageMeter()
         for batch_idx, batch in enumerate(batches(
@@ -93,20 +97,30 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
             beta = annealing_factor(epoch, batch_idx, n_batches,
                                     args.annealing_epochs)
             batch = place(batch)
-            if dynamic:
-                masks, lambdas = make_masks(mask_rng)
-                params, state, opt_state, rng, loss, _ = train_step(
-                    params, state, opt_state, rng, batch, beta,
-                    jnp.asarray(masks, jnp.float32),
-                    jnp.asarray(lambdas, jnp.float32))
-            else:
-                params, state, opt_state, rng, loss, _ = train_step(
-                    params, state, opt_state, rng, batch, beta)
-            meter.update(float(loss), len(next(iter(batch.values()))))
+            trace_now = bool(profile_dir and epoch == start_epoch
+                             and 2 <= batch_idx < 5)
+            timer.start()
+            with maybe_trace(profile_dir, trace_now):
+                if dynamic:
+                    masks, lambdas = make_masks(mask_rng)
+                    params, state, opt_state, rng, loss, _ = train_step(
+                        params, state, opt_state, rng, batch, beta,
+                        jnp.asarray(masks, jnp.float32),
+                        jnp.asarray(lambdas, jnp.float32))
+                else:
+                    params, state, opt_state, rng, loss, _ = train_step(
+                        params, state, opt_state, rng, batch, beta)
+                # float() blocks, so the meter also fences the async step
+                loss_f = float(loss)
+            timer.stop()
+            meter.update(loss_f, len(next(iter(batch.values()))))
             if batch_idx % args.log_interval == 0:
                 L.log_train(epoch, batch_idx, args.batch_size, len(train_ds),
                             n_batches, meter.avg, beta)
         L.log_epoch(epoch, meter.avg)
+        if timer.steps_per_sec:
+            print('====> Throughput: {:.2f} steps/sec'.format(
+                timer.steps_per_sec))
 
         test_meter = L.AverageMeter()
         for batch in batches(test_ds, args.batch_size, shuffle=False):

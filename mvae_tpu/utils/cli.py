@@ -23,6 +23,8 @@ def train_parser(*, n_latents, epochs, annealing_epochs, lr, batch_size=100,
     p.add_argument('--out-dir', type=str, default='./trained_models')
     p.add_argument('--resume', type=str, default=None)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--profile-dir', type=str, default=None,
+                   help='write a jax.profiler trace of a few early steps')
     return p
 
 
