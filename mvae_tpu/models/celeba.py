@@ -58,8 +58,11 @@ def _mlp_bn_apply(params, state, x, *, train):
 class CelebaMVAE(MultimodalVAE):
     modalities = ("image", "attrs")
 
-    def __init__(self, n_latents: int = 100):
+    def __init__(self, n_latents: int = 100, compute_dtype=None):
         self.n_latents = n_latents
+        # bfloat16 runs the conv stacks at full MXU rate; params/optimizer,
+        # BN statistics, posteriors, and losses stay f32 (mixed precision)
+        self.compute_dtype = compute_dtype
 
     def input_spec(self):
         return {"image": ((64, 64, 3), jnp.float32),
@@ -89,10 +92,11 @@ class CelebaMVAE(MultimodalVAE):
         x = inputs["image"]
         h, img_st = conv_stack_apply(params["image_enc"]["conv"],
                                      state["enc"]["image"], ENC_SPECS, x,
-                                     train=train)
+                                     train=train, dtype=self.compute_dtype)
         h = h.reshape(h.shape[0], -1)
         img_p = head_apply(params["image_enc"]["head"], h, rng=rng,
-                           train=train, dropout_rate=0.1)
+                           train=train, dropout_rate=0.1,
+                           dtype=self.compute_dtype)
 
         a_p, attr_st = _mlp_bn_apply(params["attrs_enc"],
                                      state["enc"]["attrs"],
@@ -107,7 +111,8 @@ class CelebaMVAE(MultimodalVAE):
         h = h.reshape(-1, 5, 5, 256)
         img, img_st = deconv_stack_apply(params["image_dec"]["deconv"],
                                          state["dec"]["image"], DEC_SPECS, h,
-                                         train=train)
+                                         train=train,
+                                         dtype=self.compute_dtype)
         attrs, attr_st = _mlp_bn_apply(params["attrs_dec"],
                                        state["dec"]["attrs"], z, train=train)
         return ({"image": img, "attrs": attrs},

@@ -40,13 +40,31 @@ def conv_stack_init(key, c_in, specs):
     return params, state
 
 
-def conv_stack_apply(params, state, specs, x, *, train):
-    """swish after every block (BN before swish where configured)."""
+def _cast(p, dtype):
+    """Cast a conv/linear param dict's weights to the compute dtype (params
+    are stored f32; casting at use keeps optimizer state in f32 — standard
+    mixed-precision). BN params stay f32."""
+    if dtype is None:
+        return p
+    return {k: (v.astype(dtype) if k in ("w", "b") else v)
+            for k, v in p.items()}
+
+
+def conv_stack_apply(params, state, specs, x, *, train, dtype=None):
+    """swish after every block (BN before swish where configured).
+
+    dtype: optional compute dtype (bfloat16 feeds the MXU at full rate);
+    BN statistics always accumulate in f32.
+    """
     new_state = []
+    if dtype is not None:
+        x = x.astype(dtype)
     for p, st, (_c, kern, s, pad, bn) in zip(params, state, specs):
-        x = conv2d(p["conv"], x, stride=s, padding=pad)
+        x = conv2d(_cast(p["conv"], dtype), x, stride=s, padding=pad)
         if bn:
-            x, st = batchnorm_apply(p["bn"], st, x, train=train)
+            y, st = batchnorm_apply(p["bn"], st, x.astype(jnp.float32),
+                                    train=train)
+            x = y.astype(dtype) if dtype is not None else y
         new_state.append(st)
         x = swish(x)
     return x, new_state
@@ -66,19 +84,23 @@ def deconv_stack_init(key, c_in, specs):
     return params, state
 
 
-def deconv_stack_apply(params, state, specs, x, *, train):
-    """BN+swish between layers; the FINAL convT emits raw logits."""
+def deconv_stack_apply(params, state, specs, x, *, train, dtype=None):
+    """BN+swish between layers; the FINAL convT emits raw logits (f32)."""
     new_state = []
     last = len(specs) - 1
+    if dtype is not None:
+        x = x.astype(dtype)
     for i, (p, st, (_c, kern, s, pad, bn)) in enumerate(
             zip(params, state, specs)):
-        x = conv_transpose2d(p["conv"], x, stride=s, padding=pad)
+        x = conv_transpose2d(_cast(p["conv"], dtype), x, stride=s, padding=pad)
         if bn:
-            x, st = batchnorm_apply(p["bn"], st, x, train=train)
+            y, st = batchnorm_apply(p["bn"], st, x.astype(jnp.float32),
+                                    train=train)
+            x = y.astype(dtype) if dtype is not None else y
         new_state.append(st)
         if i != last:
             x = swish(x)
-    return x, new_state
+    return x.astype(jnp.float32), new_state
 
 
 def head_init(key, d_in, n_latents, *, hidden=512):
@@ -87,8 +109,11 @@ def head_init(key, d_in, n_latents, *, hidden=512):
             "out": linear_init(k2, hidden, 2 * n_latents)}
 
 
-def head_apply(params, x, *, rng, train, dropout_rate=0.0):
-    h = swish(linear(params["fc"], x))
+def head_apply(params, x, *, rng, train, dropout_rate=0.0, dtype=None):
+    """Posterior head; output is always f32 (mu/logvar feed exp())."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    h = swish(linear(_cast(params["fc"], dtype), x))
     if dropout_rate and train and rng is not None:
         h = dropout(rng, h, dropout_rate, train)
-    return linear(params["out"], h)
+    return linear(_cast(params["out"], dtype), h).astype(jnp.float32)

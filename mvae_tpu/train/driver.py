@@ -68,13 +68,49 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                 (params, state, opt_state), rep)
             print(f"data-parallel over {mesh.devices.size} devices")
 
+    # Device-resident input pipeline: when single-device and the dataset
+    # fits an HBM budget, park ALL data on the chip (images as uint8, 4x
+    # smaller; decoded to f32 inside the step) and transfer only (B,) batch
+    # indices per step. Over this environment's tunneled chip that turns a
+    # transfer-bound 24 steps/sec into compute-bound training.
+    def _bytes(ds):
+        return sum(v.nbytes // (4 if _is_image(v) else 1)
+                   for v in ds.arrays.values())
+
+    def _is_image(v):
+        return v.dtype == np.float32 and v.ndim >= 3
+
+    def _to_device_data(ds):
+        out = {}
+        for k, v in ds.arrays.items():
+            if _is_image(v):
+                v = np.round(v * 255.0).astype(np.uint8)
+            out[k] = jax.device_put(v)
+        return out
+
+    device_data = (mesh is None and not getattr(args, "no_device_data", False)
+                   and _bytes(train_ds) + _bytes(test_ds) < 6 * 2 ** 30)
+
     dynamic = make_masks is not None
-    train_step = L.make_train_step(model, tx, term_masks, term_lambdas,
-                                   dynamic_masks=dynamic)
-    eval_step = L.make_eval_step(
-        model,
-        term_masks if eval_term_masks is None else eval_term_masks,
-        term_lambdas if eval_term_lambdas is None else eval_term_lambdas)
+    ev_masks = term_masks if eval_term_masks is None else eval_term_masks
+    ev_lambdas = (term_lambdas if eval_term_lambdas is None
+                  else eval_term_lambdas)
+    if device_data:
+        # fused K-step dispatches: one loss buffer (=> one ~40ms tunnel
+        # fetch) per logging window instead of per step
+        multi_step = L.make_multi_train_step(model, tx, term_masks,
+                                             term_lambdas,
+                                             dynamic_masks=dynamic)
+        multi_eval = L.make_multi_eval_step(model, ev_masks, ev_lambdas)
+        train_dev = _to_device_data(train_ds)
+        test_dev = _to_device_data(test_ds)
+        print("input pipeline: device-resident "
+              f"({_bytes(train_ds) / 2**20:.0f} MiB on-chip), "
+              f"{args.log_interval} steps/dispatch")
+    else:
+        train_step = L.make_train_step(model, tx, term_masks, term_lambdas,
+                                       dynamic_masks=dynamic)
+        eval_step = L.make_eval_step(model, ev_masks, ev_lambdas)
     n_batches = num_batches(len(train_ds), args.batch_size, True)
     mask_rng = np.random.default_rng(getattr(args, "seed", 0) + 1)
 
@@ -85,21 +121,56 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
         s = batch_sharding(mesh)
         return {k: jax.device_put(v, s) for k, v in batch.items()}
 
-    from mvae_tpu.utils.profiling import StepTimer, maybe_trace
-    profile_dir = getattr(args, "profile_dir", None)
-    timer = StepTimer()
+    seed = getattr(args, "seed", 0)
 
-    for epoch in range(start_epoch, args.epochs + 1):
-        meter = L.AverageMeter()
-        for batch_idx, batch in enumerate(batches(
-                train_ds, args.batch_size, shuffle=True,
-                seed=getattr(args, "seed", 0), epoch=epoch)):
-            beta = annealing_factor(epoch, batch_idx, n_batches,
+    import time as _time
+    from mvae_tpu.utils.profiling import maybe_trace
+    profile_dir = getattr(args, "profile_dir", None)
+
+    def run_epoch_device(epoch, params, state, opt_state, rng, meter):
+        """Chunked lax.scan dispatches over the shuffled index matrix."""
+        B, K = args.batch_size, max(1, args.log_interval)
+        idx = np.arange(len(train_ds))
+        np.random.default_rng(np.random.SeedSequence(
+            [seed, epoch])).shuffle(idx)
+        stop = len(train_ds) - len(train_ds) % B
+        step_i = 0
+        for lo_i in range(0, stop, B * K):
+            k = min(K, (stop - lo_i) // B)
+            if k == 0:
+                break
+            idxs = jnp.asarray(
+                idx[lo_i:lo_i + k * B].reshape(k, B), jnp.int32)
+            betas = jnp.asarray([
+                annealing_factor(epoch, step_i + j, n_batches,
+                                 args.annealing_epochs) for j in range(k)],
+                jnp.float32)
+            if dynamic:
+                ms, ls = zip(*[make_masks(mask_rng) for _ in range(k)])
+                extra = (jnp.asarray(np.stack(ms), jnp.float32),
+                         jnp.asarray(np.stack(ls), jnp.float32))
+            else:
+                extra = ()
+            params, state, opt_state, rng, losses = multi_step(
+                params, state, opt_state, rng, train_dev, idxs, betas,
+                *extra)
+            for v in np.asarray(losses):          # ONE fetch per window
+                meter.update(float(v), B)
+            step_i += k
+            L.log_train(epoch, step_i - k, B, len(train_ds), n_batches,
+                        meter.avg, float(betas[0]))
+        return params, state, opt_state, rng, step_i
+
+    def run_epoch_host(epoch, params, state, opt_state, rng, meter):
+        pending, step_i = [], 0
+        for b in batches(train_ds, args.batch_size, shuffle=True,
+                         seed=seed, epoch=epoch):
+            batch = place(b)
+            n_ex = len(next(iter(b.values())))
+            beta = annealing_factor(epoch, step_i, n_batches,
                                     args.annealing_epochs)
-            batch = place(batch)
             trace_now = bool(profile_dir and epoch == start_epoch
-                             and 2 <= batch_idx < 5)
-            timer.start()
+                             and 2 <= step_i < 5)
             with maybe_trace(profile_dir, trace_now):
                 if dynamic:
                     masks, lambdas = make_masks(mask_rng)
@@ -110,22 +181,50 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                 else:
                     params, state, opt_state, rng, loss, _ = train_step(
                         params, state, opt_state, rng, batch, beta)
-                # float() blocks, so the meter also fences the async step
-                loss_f = float(loss)
-            timer.stop()
-            meter.update(loss_f, len(next(iter(batch.values()))))
-            if batch_idx % args.log_interval == 0:
-                L.log_train(epoch, batch_idx, args.batch_size, len(train_ds),
+            pending.append((loss, n_ex))
+            if step_i % args.log_interval == 0:
+                for lo, n in pending:      # bulk sync at the log boundary
+                    meter.update(float(lo), n)
+                pending.clear()
+                L.log_train(epoch, step_i, args.batch_size, len(train_ds),
                             n_batches, meter.avg, beta)
+            step_i += 1
+        for lo, n in pending:
+            meter.update(float(lo), n)
+        return params, state, opt_state, rng, step_i
+
+    for epoch in range(start_epoch, args.epochs + 1):
+        meter = L.AverageMeter()
+        epoch_t0 = _time.perf_counter()
+        if device_data:
+            params, state, opt_state, rng, n_steps = run_epoch_device(
+                epoch, params, state, opt_state, rng, meter)
+        else:
+            params, state, opt_state, rng, n_steps = run_epoch_host(
+                epoch, params, state, opt_state, rng, meter)
+        epoch_dt = _time.perf_counter() - epoch_t0
         L.log_epoch(epoch, meter.avg)
-        if timer.steps_per_sec:
+        if n_steps > 1 and epoch > start_epoch:   # skip the compile epoch
             print('====> Throughput: {:.2f} steps/sec'.format(
-                timer.steps_per_sec))
+                n_steps / epoch_dt))
 
         test_meter = L.AverageMeter()
-        for batch in batches(test_ds, args.batch_size, shuffle=False):
-            loss, _ = eval_step(params, state, place(batch))
-            test_meter.update(float(loss), len(next(iter(batch.values()))))
+        if device_data:
+            B = args.batch_size
+            n_eval = len(test_ds) - len(test_ds) % B
+            if n_eval:
+                idxs = jnp.asarray(
+                    np.arange(n_eval).reshape(-1, B), jnp.int32)
+                for v in np.asarray(multi_eval(params, state, test_dev,
+                                               idxs)):
+                    test_meter.update(float(v), B)
+        else:
+            eval_pending = []
+            for b in batches(test_ds, args.batch_size, shuffle=False):
+                loss, _ = eval_step(params, state, place(b))
+                eval_pending.append((loss, len(next(iter(b.values())))))
+            for lo, n in eval_pending:
+                test_meter.update(float(lo), n)
         L.log_test(test_meter.avg)
 
         if post_epoch is not None:

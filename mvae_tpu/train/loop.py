@@ -13,13 +13,27 @@ import optax
 from mvae_tpu.core.engine import multi_term_elbo
 
 
+def decode_batch(batch):
+    """Device-side input decode: uint8 image tensors stored in HBM become
+    f32 in [0, 1] inside the compiled step (4x less HBM + no per-step host
+    transfer); other dtypes pass through."""
+    return {k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
+            for k, v in batch.items()}
+
+
 def make_train_step(model, tx, term_masks, term_lambdas, *,
-                    dynamic_masks: bool = False):
+                    dynamic_masks: bool = False, device_data: bool = False):
     """Build the jitted training step.
 
     term_masks/term_lambdas: (T, M) arrays. With dynamic_masks=True the step
     takes (masks, lambdas) as runtime arguments instead (celeba19's sampled
     subset terms change every step — celeba19/train.py:286-302).
+
+    device_data=True: the `batch` argument becomes (data, idx) where `data`
+    is the FULL dataset resident on device and idx the (B,) batch indices —
+    the gather happens inside the compiled step, so the only per-step
+    host->device transfer is ~4*B bytes of indices. This is the TPU-native
+    input pipeline for datasets that fit HBM.
 
     Step signature:
         (params, state, opt_state, rng, batch, beta[, masks, lambdas])
@@ -32,10 +46,17 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
     def train_step(params, state, opt_state, rng, batch, beta,
                    masks=static_masks, lambdas=static_lambdas):
         rng, sub = jax.random.split(rng)
+        if device_data:
+            data, idx = batch
+            batch_ = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        else:
+            batch_ = batch
+        batch_ = decode_batch(batch_)
 
         def loss_fn(p):
             total, aux, new_state = multi_term_elbo(
-                model, p, state, batch, masks, lambdas, sub, beta, train=True)
+                model, p, state, batch_, masks, lambdas, sub, beta,
+                train=True)
             return total, (aux, new_state)
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
@@ -47,7 +68,81 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
     return train_step
 
 
-def make_eval_step(model, term_masks, term_lambdas):
+def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
+                          dynamic_masks: bool = False):
+    """K training steps in ONE dispatch via lax.scan over the batch-index
+    windows — the device-resident pipeline's outer loop.
+
+    Motivation (measured on the tunneled v5e): a single fetch of a fresh
+    device scalar costs ~40-90 ms, so per-step loss readback dominates the
+    epoch (600 x 40 ms vs 600 x 5 ms of compute). Scanning K steps per
+    dispatch returns ONE (K,) loss buffer — one fetch per logging window.
+
+    Signature:
+        (params, state, opt_state, rng, data, idxs (K, B), betas (K,)
+         [, masks (K, T, M), lambdas (K, T, M)])
+        -> (params, state, opt_state, rng, losses (K,))
+    """
+    static_masks = None if dynamic_masks else jnp.asarray(term_masks,
+                                                          jnp.float32)
+    static_lambdas = None if dynamic_masks else jnp.asarray(term_lambdas,
+                                                            jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def multi_step(params, state, opt_state, rng, data, idxs, betas,
+                   masks=None, lambdas=None):
+        def body(carry, xs):
+            p, s, o, r = carry
+            if dynamic_masks:
+                idx, beta, m, lam = xs
+            else:
+                idx, beta = xs
+                m, lam = static_masks, static_lambdas
+            r, sub = jax.random.split(r)
+            batch = decode_batch(
+                {k: jnp.take(v, idx, axis=0) for k, v in data.items()})
+
+            def loss_fn(pp):
+                total, aux, new_state = multi_term_elbo(
+                    model, pp, s, batch, m, lam, sub, beta, train=True)
+                return total, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            updates, new_o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), new_state, new_o, r), loss
+
+        xs = ((idxs, betas, masks, lambdas) if dynamic_masks
+              else (idxs, betas))
+        (params, state, opt_state, rng), losses = jax.lax.scan(
+            body, (params, state, opt_state, rng), xs)
+        return params, state, opt_state, rng, losses
+
+    return multi_step
+
+
+def make_multi_eval_step(model, term_masks, term_lambdas):
+    """K eval batches in one dispatch -> (K,) losses (device-data path)."""
+    masks = jnp.asarray(term_masks, jnp.float32)
+    lambdas = jnp.asarray(term_lambdas, jnp.float32)
+
+    @jax.jit
+    def multi_eval(params, state, data, idxs):
+        def body(_, idx):
+            batch = decode_batch(
+                {k: jnp.take(v, idx, axis=0) for k, v in data.items()})
+            total, aux, _ = multi_term_elbo(
+                model, params, state, batch, masks, lambdas, None,
+                jnp.float32(1.0), train=False)
+            return None, total
+        _, losses = jax.lax.scan(body, None, idxs)
+        return losses
+
+    return multi_eval
+
+
+def make_eval_step(model, term_masks, term_lambdas, *,
+                   device_data: bool = False):
     """Eval: beta=1, no reparam noise (z = mu), running BN stats, no dropout
     (reference test(): mnist/train.py:229-253)."""
     masks = jnp.asarray(term_masks, jnp.float32)
@@ -55,8 +150,14 @@ def make_eval_step(model, term_masks, term_lambdas):
 
     @jax.jit
     def eval_step(params, state, batch):
+        if device_data:
+            data, idx = batch
+            batch_ = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        else:
+            batch_ = batch
+        batch_ = decode_batch(batch_)
         total, aux, _ = multi_term_elbo(
-            model, params, state, batch, masks, lambdas, None,
+            model, params, state, batch_, masks, lambdas, None,
             jnp.float32(1.0), train=False)
         return total, aux["per_term"]
 

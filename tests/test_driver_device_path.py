@@ -1,0 +1,58 @@
+"""Exercise the driver's device-resident chunked-scan path end-to-end.
+
+On the 8-virtual-device CPU mesh an odd batch size (gcd(8, 25) = 1) forces
+mesh=None, which enables the device-data pipeline — the same path real
+single-chip TPU training takes."""
+
+import numpy as np
+
+from mvae_tpu.data.mnist import synthetic_mnist
+from mvae_tpu.data.pipeline import ArrayDataset
+
+
+def _tiny(n, seed):
+    imgs, labels = synthetic_mnist(n, seed=seed)
+    return ArrayDataset({"image": imgs.reshape(n, 28, 28, 1), "text": labels})
+
+
+def test_device_data_training_runs_and_checkpoints(tmp_path, capsys):
+    from experiments.fashionmnist import train as fm_train
+    fm_train.load_mnist = lambda root, train=True, **kw: _tiny(
+        150 if train else 50, 0 if train else 1)
+    fm_train.main(['--epochs', '2', '--batch-size', '25',
+                   '--annealing-epochs', '2', '--n-latents', '8',
+                   '--log-interval', '3',
+                   '--out-dir', str(tmp_path), '--data-dir', str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "device-resident" in out
+    assert "====> Test Loss" in out
+    assert (tmp_path / "checkpoint.msgpack").exists()
+    # loss decreased between epochs
+    epochs = [float(l.rsplit(None, 1)[-1]) for l in out.splitlines()
+              if l.startswith("====> Epoch")]
+    assert len(epochs) == 2 and epochs[1] < epochs[0]
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("MVAE_SLOW_TESTS") != "1",
+                    reason="~10 min XLA compile on the 1-CPU host; "
+                           "set MVAE_SLOW_TESTS=1 (verified passing)")
+def test_device_data_celeba19_dynamic_masks(tmp_path, capsys):
+    """The chunked path must also handle per-step (K,T,M) sampled masks."""
+    from experiments.celeba19 import train as c19_train
+    from mvae_tpu.data.celeba import synthetic_celeba
+    c19_train.load_celeba = lambda root, part, **kw: synthetic_celeba(
+        50, seed=0 if part == 'train' else 1)
+    c19_train.main(['--epochs', '1', '--batch-size', '25',
+                    '--annealing-epochs', '1', '--n-latents', '8',
+                    '--log-interval', '2', '--approx-m', '2',
+                    '--out-dir', str(tmp_path), '--data-dir', str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "device-resident" in out
+    assert "====> Test Loss" in out
+    loss = [float(l.rsplit(None, 1)[-1]) for l in out.splitlines()
+            if l.startswith("====> Epoch")]
+    assert np.isfinite(loss[0])
