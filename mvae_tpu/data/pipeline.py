@@ -34,10 +34,23 @@ def batches(ds: ArrayDataset, batch_size: int, *, shuffle: bool,
     if shuffle:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         rng.shuffle(idx)
+    gather = _gather_fn()
     stop = ds.n - (ds.n % batch_size) if drop_remainder else ds.n
     for i in range(0, stop, batch_size):
         take = idx[i:i + batch_size]
-        yield {k: v[take] for k, v in ds.arrays.items()}
+        yield {k: gather(v, take) for k, v in ds.arrays.items()}
+
+
+def _gather_fn():
+    """Native memcpy batch gather when the C++ library is built; numpy
+    fancy-indexing otherwise."""
+    try:
+        from mvae_tpu.data import native
+        if native.available():
+            return native.gather_rows
+    except Exception:
+        pass
+    return lambda v, take: v[take]
 
 
 def num_batches(n: int, batch_size: int, drop_remainder: bool) -> int:
