@@ -145,3 +145,53 @@ def test_full_eval_elbo_matches_torch_reference_flow():
             want = float(term(ui, ut))
         np.testing.assert_allclose(float(aux["per_term"][t]), want,
                                    rtol=2e-4, atol=2e-3)
+
+
+def test_iwae_log_marginal_matches_independent_torch_estimator():
+    """SURVEY.md hard part (e): validate loglike.py against an independently
+    written torch IWAE estimator, using the SAME z (deterministic z = q
+    mean, i.e. a single 'sample' with eps = 0) and transplanted weights."""
+    from mvae_tpu.core.loglike import _log_normal
+    from mvae_tpu.core.poe import masked_product_of_experts
+
+    tm = _torch_mnist(seed=1)
+    rng = np.random.default_rng(3)
+    image = rng.random((10, 784)).astype(np.float32)
+    text = rng.integers(0, 10, 10).astype(np.int64)
+
+    # ---- torch estimator (independent implementation) --------------------
+    with torch.no_grad():
+        ti, tt = torch.from_numpy(image), torch.from_numpy(text)
+        img_p, txt_p = _torch_encode(tm, ti, tt)
+        zeros = torch.zeros(10, L)
+        q_mu, q_lv = _torch_poe(
+            [zeros, img_p[:, :L], txt_p[:, :L]],
+            [zeros, img_p[:, L:], txt_p[:, L:]])
+        z = q_mu                                   # eps = 0
+        img_r, _ = _torch_decode(tm, z)
+        bce = (img_r.clamp(min=0) - img_r * ti
+               + torch.log1p((-img_r.abs()).exp())).sum(1)
+        log_px_z = -bce
+
+        def logn(x, mu, lv):
+            return (-0.5 * (lv + np.log(2 * np.pi)
+                            + (x - mu) ** 2 * (-lv).exp())).sum(1)
+        want = log_px_z + logn(z, torch.zeros_like(z), torch.zeros_like(z)) \
+            - logn(z, q_mu, q_lv)
+
+    # ---- ours: same math through the model API ---------------------------
+    model = MnistMVAE(L)
+    params = _params_from_torch(tm)
+    state = {"enc": {}, "dec": {}}
+    batch = {"image": jnp.asarray(image),
+             "text": jnp.asarray(text.astype(np.int32))}
+    mu_all, lv_all, _ = model.encode(params, state, batch, None, False)
+    q_mu_j, q_lv_j = masked_product_of_experts(mu_all, lv_all, jnp.ones(2))
+    zj = q_mu_j
+    recons, _ = model.decode(params, state, zj, None, False)
+    log_px = -model.recon_loss("image", recons["image"], batch["image"])
+    got = (log_px
+           + _log_normal(zj, jnp.zeros_like(zj), jnp.zeros_like(zj))
+           - _log_normal(zj, q_mu_j, q_lv_j))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-4, atol=2e-3)

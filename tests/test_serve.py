@@ -1,0 +1,58 @@
+"""Serving endpoints: shapes, determinism, conditioning effect."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from mvae_tpu.data.mnist import synthetic_mnist
+from mvae_tpu.models.mnist import MnistMVAE
+from mvae_tpu.serve import Sampler
+from mvae_tpu.train.loop import make_train_step
+
+
+@pytest.fixture(scope="module")
+def sampler():
+    import jax.numpy as jnp
+    model = MnistMVAE(8)
+    params, state = model.init(jax.random.key(0))
+    # a few steps so conditioning has signal
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    step = make_train_step(model, tx, [[1., 1.], [1., 0.], [0., 1.]],
+                           [[1., 10.]] * 3)
+    imgs, labels = synthetic_mnist(256, seed=0)
+    batch = {"image": jnp.asarray(imgs.reshape(256, 784)),
+             "text": jnp.asarray(labels)}
+    rng = jax.random.key(1)
+    for _ in range(30):
+        params, state, opt, rng, _, _ = step(params, state, opt, rng,
+                                             batch, 0.05)
+    return Sampler(model, params, state)
+
+
+def test_unconditional_shapes_and_determinism(sampler):
+    out = sampler.sample(n=4, seed=7)
+    assert out["image"].shape == (4, 784)
+    assert out["text"].shape == (4, 10)
+    assert float(out["image"].min()) >= 0 and float(out["image"].max()) <= 1
+    out2 = sampler.sample(n=4, seed=7)
+    np.testing.assert_array_equal(np.asarray(out["image"]),
+                                  np.asarray(out2["image"]))
+
+
+def test_conditional_sampling_uses_condition(sampler):
+    import jax.numpy as jnp
+    a = sampler.sample(n=4, condition={"text": jnp.asarray([0])}, seed=3)
+    b = sampler.sample(n=4, condition={"text": jnp.asarray([7])}, seed=3)
+    assert not np.allclose(np.asarray(a["image"]), np.asarray(b["image"]))
+
+
+def test_reconstruct_roundtrip(sampler):
+    import jax.numpy as jnp
+    imgs, labels = synthetic_mnist(6, seed=9)
+    rec = sampler.reconstruct({"image": jnp.asarray(imgs.reshape(6, 784))})
+    assert rec["image"].shape == (6, 784)
+    assert rec["text"].shape == (6, 10)
+    np.testing.assert_allclose(np.asarray(rec["text"]).sum(-1), 1.0,
+                               rtol=1e-4)
