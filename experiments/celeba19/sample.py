@@ -14,8 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax                                                       # noqa: E402
 import jax.numpy as jnp                                          # noqa: E402
 
-from mvae_tpu.data.celeba import (                               # noqa: E402
-    load_celeba, ATTR_TO_IX_DICT, ATTR_IX_TO_KEEP)
+from mvae_tpu.data.celeba import load_celeba                     # noqa: E402
 from mvae_tpu.models.celeba19 import Celeba19MVAE, N_ATTRS       # noqa: E402
 from mvae_tpu.train.driver import load_model_checkpoint          # noqa: E402
 from mvae_tpu.utils.cli import sample_parser                     # noqa: E402

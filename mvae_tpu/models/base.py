@@ -9,7 +9,6 @@ A model instance holds ONLY static configuration (sizes), so it is safe to
 close over inside jit.
 """
 
-import jax
 import jax.numpy as jnp
 
 from mvae_tpu.core.poe import masked_product_of_experts

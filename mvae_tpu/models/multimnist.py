@@ -27,7 +27,7 @@ from mvae_tpu.nn.dcgan import (
     head_init, head_apply)
 from mvae_tpu.nn.initializers import linear_init, embedding_init, gru_init
 from mvae_tpu.nn.layers import linear, swish, dropout
-from mvae_tpu.nn.rnn import gru_cell, gru_layer, bigru_last_step
+from mvae_tpu.nn.rnn import gru_cell, bigru_last_step
 from mvae_tpu.core.losses import (
     bce_row_sum, cross_entropy_with_logits)
 

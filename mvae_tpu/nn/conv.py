@@ -8,8 +8,6 @@ architecture tables in SURVEY.md §2.2 carry over:
   conv_transpose:  out = (in - 1)*s - 2p + k
 """
 
-import jax
-import jax.numpy as jnp
 from jax import lax
 
 _DIMS = ("NHWC", "HWIO", "NHWC")

@@ -13,8 +13,6 @@ here are PER-SHARD (each device normalizes its slice); models without BN
 behavior, not a bug — large-scale training commonly uses per-replica BN.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import optax

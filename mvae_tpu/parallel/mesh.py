@@ -19,7 +19,6 @@ Everything is plain `jax.jit` + NamedSharding: semantics are identical to
 single-device execution (tested on the 8-virtual-device CPU mesh).
 """
 
-import math
 import re
 
 import jax

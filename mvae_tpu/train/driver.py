@@ -12,8 +12,6 @@ Multi-device: if more than one device is visible, batches shard over a
 are identical to single-device (tested on the virtual 8-CPU mesh).
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +22,7 @@ from mvae_tpu.data.pipeline import batches, num_batches
 from mvae_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
 from mvae_tpu.train import loop as L
 from mvae_tpu.train.checkpoint import (
-    save_checkpoint, load_checkpoint, restore_into, CKPT)
+    save_checkpoint, load_checkpoint, restore_into)
 
 
 def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,

@@ -7,7 +7,6 @@ The torch side reimplements the reference FORMULAS (mnist/model.py,
 mnist/train.py:20-94) — eval mode (z = mu), single-eps PoE convention.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import torch

@@ -7,7 +7,7 @@ import torch
 
 from mvae_tpu.nn.conv import conv2d, conv_transpose2d
 from mvae_tpu.nn.norm import batchnorm_init, batchnorm_apply
-from mvae_tpu.nn.rnn import gru_cell, gru_layer, bigru_last_step
+from mvae_tpu.nn.rnn import gru_layer, bigru_last_step
 
 torch.manual_seed(0)
 
