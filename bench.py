@@ -63,12 +63,15 @@ def measure_ours():
     args = (params, state, opt_state, jax.random.key(2))
     for w in range(2):                      # compile + warm
         args, losses = window(args, w)
-    jax.block_until_ready(losses)
+    float(losses[-1])
+    # NOTE: fence each window with a host fetch of the final loss —
+    # block_until_ready on donated pytrees proved unreliable over this
+    # backend (returned before execution finished, inflating steps/sec 20x)
     t0 = time.perf_counter()
     n_windows = 2
     for w in range(n_windows):
         args, losses = window(args, 10 + w)
-    jax.block_until_ready(losses)
+        float(losses[-1])
     dt = time.perf_counter() - t0
     return n_windows * K / dt
 

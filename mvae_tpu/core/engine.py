@@ -34,8 +34,8 @@ from mvae_tpu.core.losses import kl_divergence
 
 
 def _use_pallas() -> bool:
-    from mvae_tpu import ops
-    return ops.use_pallas() and len(jax.devices()) == 1
+    import os
+    return os.environ.get("MVAE_PALLAS") == "1" and len(jax.devices()) == 1
 
 
 def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
@@ -59,13 +59,13 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
     mu, logvar, enc_state = model.encode(params, state, inputs, rngs[0], train)
     # mu, logvar: (M, B, D)
 
-    # 2. fuse every term's posterior. The Pallas all-terms kernel wins when
-    # the (T, M) term/expert plane is large (measured +25% end-to-end on
-    # celeba19's 21x19 step); for small planes (mnist's 3x2) XLA's fused
-    # vmap form is faster — shape-aware dispatch, single-chip TPU only
-    # (GSPMD paths keep the jnp form so XLA owns the sharding).
-    T_, M_ = term_masks.shape
-    if _use_pallas() and T_ * M_ >= 64:
+    # 2. fuse every term's posterior. The Pallas all-terms kernel
+    # (ops/poe_pallas.py) is validated-correct but measured to TIE or
+    # slightly lose against XLA's fused vmap form at every tested shape
+    # (celeba19 22x19: 59.6 vs 58.3 steps/sec with honest fencing) — the
+    # guide's rule holds: don't hand-schedule what XLA already fuses.
+    # Opt in with MVAE_PALLAS=1 (single-chip only).
+    if _use_pallas():
         from mvae_tpu.ops.poe_pallas import masked_poe_all_terms
         pd_mu, pd_logvar = masked_poe_all_terms(mu, logvar, term_masks)
     else:

@@ -12,9 +12,9 @@ from mvae_tpu.ops.elbo_pallas import bce_sum
 
 
 def use_pallas() -> bool:
-    if os.environ.get("MVAE_PALLAS") == "0":
-        return False
-    if os.environ.get("MVAE_PALLAS") == "1":
-        return True
-    import jax
-    return jax.default_backend() in ("tpu", "axon")
+    """Opt-in only (MVAE_PALLAS=1): honest end-to-end measurement (hard
+    readback fences) shows XLA's fused forms tie or beat these kernels at
+    every shape the six experiments produce. The kernels remain correct
+    (tested vs references, fwd+grad, interpreter AND real TPU) and are the
+    in-repo pattern for when a future workload outgrows XLA's fusion."""
+    return os.environ.get("MVAE_PALLAS") == "1"
