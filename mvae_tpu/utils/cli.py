@@ -25,6 +25,9 @@ def train_parser(*, n_latents, epochs, annealing_epochs, lr, batch_size=100,
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--profile-dir', type=str, default=None,
                    help='write a jax.profiler trace of a few early steps')
+    p.add_argument('--no-device-data', action='store_true', default=False,
+                   help='disable the device-resident input pipeline '
+                        '(stream batches from host instead)')
     return p
 
 

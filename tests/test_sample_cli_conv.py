@@ -1,0 +1,97 @@
+"""sample.py / loglike.py smoke for the conv families (celeba, celeba19,
+vision, multimnist): run the real CLI mains against a freshly initialized
+checkpoint (generation needs no training) and tiny synthetic data."""
+
+import jax
+import numpy as np
+import pytest
+
+from mvae_tpu.train.checkpoint import save_checkpoint
+
+
+def _make_ckpt(tmp_path, model, name):
+    params, state = model.init(jax.random.key(0))
+    save_checkpoint({"params": params, "state": state},
+                    {"model": name, "n_latents": model.n_latents,
+                     "epoch": 0, "best_loss": 0.0}, True, str(tmp_path))
+    return str(tmp_path / "model_best.msgpack")
+
+
+@pytest.fixture()
+def tiny_celeba(monkeypatch):
+    from mvae_tpu.data.celeba import synthetic_celeba
+    import experiments.celeba.sample as cs
+    import experiments.celeba.loglike as cl
+    import experiments.celeba19.sample as c19s
+    loader = lambda root, part, **kw: synthetic_celeba(40, seed=1)  # noqa
+    monkeypatch.setattr(cs, "load_celeba", loader)
+    monkeypatch.setattr(c19s, "load_celeba", loader)
+    monkeypatch.setattr(cl, "load_celeba", loader)
+    return loader
+
+
+def test_celeba_sample_and_loglike(tmp_path, tiny_celeba):
+    from mvae_tpu.models.celeba import CelebaMVAE
+    import experiments.celeba.sample as cs
+    import experiments.celeba.loglike as cl
+    ckpt = _make_ckpt(tmp_path, CelebaMVAE(8), "celeba")
+    for extra in ([], ['--condition-on-attrs', 'Male'],
+                  ['--condition-on-text', 'Smiling'],       # alias spelling
+                  ['--condition-on-image', 'Male',
+                   '--condition-on-attrs', 'Male']):
+        cs.main([ckpt, '--n-samples', '4', '--out-dir', str(tmp_path)]
+                + extra)
+        assert (tmp_path / "sample_image.png").exists()
+        assert (tmp_path / "sample_attrs.txt").exists()
+    ll = cl.main([ckpt, '--n-samples', '3', '--batch-size', '20',
+                  '--max-examples', '20'])
+    assert np.isfinite(ll)
+
+
+def test_celeba_sample_rejects_unknown_attribute(tmp_path, tiny_celeba):
+    from mvae_tpu.models.celeba import CelebaMVAE
+    import experiments.celeba.sample as cs
+    ckpt = _make_ckpt(tmp_path, CelebaMVAE(8), "celeba")
+    with pytest.raises(SystemExit):
+        cs.main([ckpt, '--condition-on-attrs', 'NotAnAttribute'])
+
+
+def test_celeba19_sample(tmp_path, tiny_celeba):
+    from mvae_tpu.models.celeba19 import Celeba19MVAE
+    import experiments.celeba19.sample as c19s
+    ckpt = _make_ckpt(tmp_path, Celeba19MVAE(8), "celeba19")
+    for extra in ([], ['--condition-on-attrs', 'Male']):
+        c19s.main([ckpt, '--n-samples', '2', '--out-dir', str(tmp_path)]
+                  + extra)
+        assert (tmp_path / "sample_image.png").exists()
+
+
+def test_vision_sample_unconditional(tmp_path):
+    from mvae_tpu.models.vision import VisionMVAE, MODALITIES
+    import experiments.vision.sample as vs
+    ckpt = _make_ckpt(tmp_path, VisionMVAE(8), "vision")
+    vs.main([ckpt, '--n-samples', '2', '--out-dir', str(tmp_path)])
+    for m in MODALITIES:
+        assert (tmp_path / "samples" / f"sample_{m}.png").exists()
+
+
+def test_multimnist_sample(tmp_path, monkeypatch):
+    from mvae_tpu.models.multimnist import MultiMnistMVAE
+    from mvae_tpu.data.pipeline import ArrayDataset
+    from mvae_tpu.data.text import encode_string
+    import experiments.multimnist.sample as ms
+    rng = np.random.default_rng(0)
+    imgs = rng.random((30, 50, 50, 1)).astype(np.float32)
+    texts = np.stack([encode_string("12")] * 30)
+    monkeypatch.setattr(ms, "load_multimnist",
+                        lambda root, train=False, **kw: ArrayDataset(
+                            {"image": imgs, "text": texts}))
+    ckpt = _make_ckpt(tmp_path, MultiMnistMVAE(8), "multimnist")
+    for extra in ([], ['--condition-on-text', '12'],
+                  ['--condition-on-image', '12']):
+        ms.main([ckpt, '--n-samples', '2', '--out-dir', str(tmp_path)]
+                + extra)
+        assert (tmp_path / "sample_image.png").exists()
+        assert (tmp_path / "sample_text.txt").exists()
+    with pytest.raises(SystemExit):
+        ms.main([ckpt, '--condition-on-image', '999'])
