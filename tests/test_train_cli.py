@@ -57,6 +57,30 @@ def test_sample_all_modes(trained, tmp_path):
         (tmp_path / "sample_image.png").unlink()
 
 
+def test_resume_continues_from_checkpoint(trained, tmp_path, capsys):
+    from experiments.mnist import train as mnist_train
+    from mvae_tpu.data.mnist import synthetic_mnist
+    from mvae_tpu.data.pipeline import ArrayDataset
+    import numpy as np
+
+    def tiny_load(root, train=True, **kw):
+        n = 200 if train else 100
+        imgs, labels = synthetic_mnist(n, seed=0 if train else 1)
+        return ArrayDataset({"image": imgs.reshape(n, 784).astype(np.float32),
+                             "text": labels})
+
+    mnist_train.load_mnist = tiny_load
+    mnist_train.main(['--epochs', '3', '--batch-size', '50',
+                      '--annealing-epochs', '2', '--n-latents', '8',
+                      '--out-dir', str(tmp_path), '--data-dir', str(tmp_path),
+                      '--resume', str(trained / "checkpoint.msgpack")])
+    out = capsys.readouterr().out
+    assert "resumed from" in out
+    # fixture trained 2 epochs, so resume starts at epoch 3
+    assert "Train Epoch: 3" in out
+    assert "Train Epoch: 1 " not in out
+
+
 def test_loglike_tightens_with_k(trained):
     from experiments.mnist import loglike as mnist_loglike
     from mvae_tpu.data.mnist import synthetic_mnist
