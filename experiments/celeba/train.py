@@ -22,7 +22,9 @@ def main(argv=None):
     ).parse_args(argv)
     train_ds = load_celeba(args.data_dir, 'train')
     test_ds = load_celeba(args.data_dir, 'val')   # reference evals on val
-    model = CelebaMVAE(args.n_latents)
+    import jax.numpy as jnp
+    model = CelebaMVAE(args.n_latents,
+                       compute_dtype=jnp.bfloat16 if args.bf16 else None)
     lambdas = [[args.lambda_image, args.lambda_attrs]] * 3
     run_training(model, train_ds, test_ds, args, TERM_MASKS, lambdas,
                  out_dir=args.out_dir,

@@ -30,7 +30,9 @@ def main(argv=None):
 
     train_ds = load_celeba(args.data_dir, 'train')
     test_ds = load_celeba(args.data_dir, 'val')
-    model = Celeba19MVAE(args.n_latents)
+    import jax.numpy as jnp
+    model = Celeba19MVAE(args.n_latents,
+                         compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     static_m, static_l = celeba19_static_terms(
         N_ATTRS, args.lambda_image, args.lambda_attrs)

@@ -50,7 +50,9 @@ def main(argv=None):
                         lambda_flags=()).parse_args(argv)
     train_ds = load_celeb_vision(args.data_dir, 'train')
     test_ds = load_celeb_vision(args.data_dir, 'val')
-    model = VisionMVAE(args.n_latents)
+    import jax.numpy as jnp
+    model = VisionMVAE(args.n_latents,
+                       compute_dtype=jnp.bfloat16 if args.bf16 else None)
     run_training(model, train_ds, test_ds, args, TERM_MASKS, TERM_LAMBDAS,
                  out_dir=args.out_dir,
                  meta={"model": "vision", "n_latents": args.n_latents},

@@ -45,8 +45,11 @@ class Celeba19MVAE(MultimodalVAE):
     # expert order: image first, then the 18 attributes
     modalities = ("image",) + tuple(f"attr_{i}" for i in range(N_ATTRS))
 
-    def __init__(self, n_latents: int = 100):
+    def __init__(self, n_latents: int = 100, compute_dtype=None):
         self.n_latents = n_latents
+        # optional bfloat16 for the conv stacks + stacked-expert einsums;
+        # params/optimizer, BN stats, posteriors and losses stay f32
+        self.compute_dtype = compute_dtype
 
     def input_spec(self):
         return {"image": ((64, 64, 3), jnp.float32),
@@ -83,12 +86,13 @@ class Celeba19MVAE(MultimodalVAE):
 
     def encode(self, params, state, inputs, rng, train):
         L = self.n_latents
+        cd = self.compute_dtype
         h, conv_st = conv_stack_apply(params["image_enc"]["conv"],
                                       state["enc"]["image"], ENC_SPECS,
-                                      inputs["image"], train=train)
+                                      inputs["image"], train=train, dtype=cd)
         img_p = head_apply(params["image_enc"]["head"],
                            h.reshape(h.shape[0], -1), rng=rng, train=train,
-                           dropout_rate=0.1)                    # (B, 2L)
+                           dropout_rate=0.1, dtype=cd)          # (B, 2L)
 
         pe = params["attr_enc_experts"]
         a = inputs["attrs"]                                      # (B, 18)
@@ -109,18 +113,24 @@ class Celeba19MVAE(MultimodalVAE):
     # -- decoders ----------------------------------------------------------
 
     def decode(self, params, state, z, rng, train):
+        cd = self.compute_dtype
         h = swish(linear(params["image_dec"]["up"], z))
         h = h.reshape(-1, 5, 5, 256)
         img, deconv_st = deconv_stack_apply(params["image_dec"]["deconv"],
                                             state["dec"]["image"], DEC_SPECS,
-                                            h, train=train)
+                                            h, train=train, dtype=cd)
         pd = params["attr_dec_experts"]
         x = jnp.broadcast_to(z[:, None, :], (z.shape[0], N_ATTRS, z.shape[1]))
+        if cd is not None:
+            x = x.astype(cd)
         for blk in pd["fc"]:
-            x = swish(jnp.einsum("bih,iho->bio", x, blk["w"]) + blk["b"][None])
-        attrs = (jnp.einsum("bih,iho->bio", x, pd["head"]["w"])
+            w = blk["w"].astype(cd) if cd is not None else blk["w"]
+            x = swish(jnp.einsum("bih,iho->bio", x, w) + blk["b"][None])
+        hw = pd["head"]["w"].astype(cd) if cd is not None else pd["head"]["w"]
+        attrs = (jnp.einsum("bih,iho->bio", x, hw)
                  + pd["head"]["b"][None])[..., 0]               # (B, 18)
-        return {"image": img, "attrs": attrs}, {"image": deconv_st}
+        return ({"image": img, "attrs": attrs.astype(jnp.float32)},
+                {"image": deconv_st})
 
     # -- losses -------------------------------------------------------------
 

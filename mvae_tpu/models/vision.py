@@ -42,8 +42,9 @@ def _dec_specs(c_out):
 class VisionMVAE(MultimodalVAE):
     modalities = MODALITIES
 
-    def __init__(self, n_latents: int = 250):
+    def __init__(self, n_latents: int = 250, compute_dtype=None):
         self.n_latents = n_latents
+        self.compute_dtype = compute_dtype
 
     def input_spec(self):
         return {m: ((64, 64, CHANNELS[m]), jnp.float32) for m in MODALITIES}
@@ -71,11 +72,12 @@ class VisionMVAE(MultimodalVAE):
         for i, m in enumerate(MODALITIES):
             h, st = conv_stack_apply(params[f"{m}_enc"]["conv"],
                                      state["enc"][m], _enc_specs(CHANNELS[m]),
-                                     inputs[m], train=train)
+                                     inputs[m], train=train,
+                                     dtype=self.compute_dtype)
             sub = None if rng is None else jax.random.fold_in(rng, i)
             p = head_apply(params[f"{m}_enc"]["head"],
                            h.reshape(h.shape[0], -1), rng=sub, train=train,
-                           dropout_rate=0.1)
+                           dropout_rate=0.1, dtype=self.compute_dtype)
             mus.append(p[:, :L])
             lvs.append(p[:, L:])
             new_st[m] = st
@@ -90,7 +92,8 @@ class VisionMVAE(MultimodalVAE):
             img, st = deconv_stack_apply(params[f"{m}_dec"]["deconv"],
                                          state["dec"][m],
                                          _dec_specs(CHANNELS[m]), h,
-                                         train=train)
+                                         train=train,
+                                         dtype=self.compute_dtype)
             recons[m] = img
             new_st[m] = st
         return recons, new_st

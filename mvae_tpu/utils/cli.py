@@ -28,6 +28,10 @@ def train_parser(*, n_latents, epochs, annealing_epochs, lr, batch_size=100,
     p.add_argument('--no-device-data', action='store_true', default=False,
                    help='disable the device-resident input pipeline '
                         '(stream batches from host instead)')
+    p.add_argument('--bf16', action='store_true', default=False,
+                   help='bfloat16 compute for the conv/expert stacks '
+                        '(params, BN stats and losses stay f32); measured '
+                        '+24%% on celeba19, no win on the smaller models')
     return p
 
 
