@@ -24,6 +24,8 @@ def main(argv=None):
                           variant="FashionMNIST", flatten=False)
     test_ds = load_mnist(args.data_dir, train=False,
                          variant="FashionMNIST", flatten=False)
+    if args.bf16:
+        print('note: --bf16 has no effect for this model family')
     model = FashionMnistMVAE(args.n_latents)
     lambdas = [[args.lambda_image, args.lambda_text]] * 3
     run_training(model, train_ds, test_ds, args, TERM_MASKS, lambdas,

@@ -20,6 +20,8 @@ def main(argv=None):
                         lr=1e-3).parse_args(argv)
     train_ds = load_multimnist(args.data_dir, train=True)
     test_ds = load_multimnist(args.data_dir, train=False)
+    if args.bf16:
+        print('note: --bf16 has no effect for this model family')
     model = MultiMnistMVAE(args.n_latents)
     lambdas = [[args.lambda_image, args.lambda_text]] * 3
     run_training(model, train_ds, test_ds, args, TERM_MASKS, lambdas,
