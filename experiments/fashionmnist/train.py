@@ -28,8 +28,11 @@ def main(argv=None):
         print('note: --bf16 has no effect for this model family')
     model = FashionMnistMVAE(args.n_latents)
     lambdas = [[args.lambda_image, args.lambda_text]] * 3
+    # eval uses DEFAULT lambdas (1.0), matching the reference test()
+    # (fashionmnist/train.py:256-258 — no lambda kwargs)
     run_training(model, train_ds, test_ds, args, TERM_MASKS, lambdas,
                  out_dir=args.out_dir,
+                 eval_term_lambdas=[[1.0, 1.0]] * 3,
                  meta={"model": "fashionmnist", "n_latents": args.n_latents})
 
 

@@ -27,8 +27,11 @@ def main(argv=None):
     model = MnistMVAE(args.n_latents,
                       compute_dtype=jnp.bfloat16 if args.bf16 else None)
     lambdas = [[args.lambda_image, args.lambda_text]] * 3
+    # eval uses DEFAULT lambdas (1.0): the reference test() calls elbo_loss
+    # without lambda kwargs (mnist/train.py:246-248)
     run_training(model, train_ds, test_ds, args, TERM_MASKS, lambdas,
                  out_dir=args.out_dir,
+                 eval_term_lambdas=[[1.0, 1.0]] * 3,
                  meta={"model": "mnist", "n_latents": args.n_latents})
 
 

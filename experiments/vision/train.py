@@ -17,10 +17,18 @@ from mvae_tpu.train.driver import run_training                   # noqa: E402
 from mvae_tpu.utils.cli import train_parser                      # noqa: E402
 from mvae_tpu.utils.png import save_image_grid                   # noqa: E402
 
-# joint + one unimodal term per modality
+# joint + one unimodal term per modality. The posterior masks pick which
+# expert(s) feed each term's PoE; EVERY term reconstructs ALL six modalities
+# (vision/train.py:227-283 — each unimodal forward decodes and scores all
+# six), hence the all-ones RECON_MASKS. Each modality's BCE is weighted
+# 1/6 (vision/train.py:57).
 TERM_MASKS = np.concatenate([np.ones((1, 6), np.float32),
                              np.eye(6, dtype=np.float32)])
+RECON_MASKS = np.ones((7, 6), np.float32)
 TERM_LAMBDAS = np.full((7, 6), 1.0 / N_MODALITIES, np.float32)
+# eval computes the JOINT term only (vision/train.py:324-332)
+EVAL_MASKS = np.ones((1, 6), np.float32)
+EVAL_LAMBDAS = np.full((1, 6), 1.0 / N_MODALITIES, np.float32)
 
 
 def _recon_dump(model, test_ds, out_dir):
@@ -56,6 +64,8 @@ def main(argv=None):
     run_training(model, train_ds, test_ds, args, TERM_MASKS, TERM_LAMBDAS,
                  out_dir=args.out_dir,
                  meta={"model": "vision", "n_latents": args.n_latents},
+                 recon_masks=RECON_MASKS,
+                 eval_term_masks=EVAL_MASKS, eval_term_lambdas=EVAL_LAMBDAS,
                  post_epoch=_recon_dump(model, test_ds, args.out_dir))
 
 

@@ -39,13 +39,20 @@ def _use_pallas() -> bool:
 
 
 def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
-                    rng, beta, *, train: bool):
+                    rng, beta, *, train: bool, recon_masks=None):
     """Compute sum over T subset-ELBO terms in one traced graph.
 
     model:        MultimodalVAE (static).
     inputs:       dict name -> (B, ...) arrays, ALL modalities present.
     term_masks:   (T, M) 0/1 — which experts participate in each term's
-                  posterior AND which reconstruction losses count.
+                  POSTERIOR fusion.
+    recon_masks:  (T, M) 0/1 — which reconstruction losses count for each
+                  term. Defaults to term_masks (mnist/fashionmnist/
+                  multimnist/celeba/celeba19 reconstruct exactly the subset's
+                  modalities, e.g. mnist/train.py:205-213,
+                  celeba19/train.py:264-302). Vision decouples them: every
+                  unimodal posterior reconstructs ALL six modalities
+                  (vision/train.py:227-283), so it passes all-ones here.
     term_lambdas: (T, M) per-term per-modality loss weights.
     beta:         KL annealing factor (scalar, traced).
 
@@ -93,7 +100,8 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
     # of one vectorized call, not a Python loop).
     recon_stack = jax.vmap(
         lambda rt: model.recon_losses(rt, inputs))(recons)    # (T, B, M)
-    w = (term_masks * term_lambdas)[:, None, :]               # (T, 1, M)
+    rmask = term_masks if recon_masks is None else recon_masks
+    w = (rmask * term_lambdas)[:, None, :]                    # (T, 1, M)
     recon = jnp.sum(recon_stack * w, axis=-1)                 # (T, B)
 
     kld = kl_divergence(pd_mu, pd_logvar)                     # (T, B)

@@ -27,13 +27,16 @@ from mvae_tpu.train.checkpoint import (
 
 def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                  *, out_dir, meta, make_masks=None, eval_term_masks=None,
-                 eval_term_lambdas=None, post_epoch=None):
+                 eval_term_lambdas=None, recon_masks=None,
+                 eval_recon_masks=None, post_epoch=None):
     """make_masks: optional fn(np_rng) -> (masks, lambdas) per-step arrays for
     experiments with sampled ELBO terms (celeba19). eval_term_masks/lambdas
     override the eval-time terms (celeba19 evals on the joint term only,
-    celeba19/train.py:332-334). post_epoch: optional fn(epoch, params, state)
-    run after each eval (vision's reconstruction-grid dumps,
-    vision/train.py:335-368)."""
+    celeba19/train.py:332-334). recon_masks/eval_recon_masks: optional (T, M)
+    reconstruction masks decoupled from the posterior masks (vision's
+    unimodal terms reconstruct all six modalities, vision/train.py:227-283).
+    post_epoch: optional fn(epoch, params, state) run after each eval
+    (vision's reconstruction-grid dumps, vision/train.py:335-368)."""
     tx = optax.adam(args.lr)
     key = jax.random.key(getattr(args, "seed", 0))
     key, init_key = jax.random.split(key)
@@ -98,8 +101,10 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
         # fetch) per logging window instead of per step
         multi_step = L.make_multi_train_step(model, tx, term_masks,
                                              term_lambdas,
-                                             dynamic_masks=dynamic)
-        multi_eval = L.make_multi_eval_step(model, ev_masks, ev_lambdas)
+                                             dynamic_masks=dynamic,
+                                             recon_masks=recon_masks)
+        multi_eval = L.make_multi_eval_step(model, ev_masks, ev_lambdas,
+                                            recon_masks=eval_recon_masks)
         train_dev = _to_device_data(train_ds)
         test_dev = _to_device_data(test_ds)
         print("input pipeline: device-resident "
@@ -107,8 +112,10 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
               f"{args.log_interval} steps/dispatch")
     else:
         train_step = L.make_train_step(model, tx, term_masks, term_lambdas,
-                                       dynamic_masks=dynamic)
-        eval_step = L.make_eval_step(model, ev_masks, ev_lambdas)
+                                       dynamic_masks=dynamic,
+                                       recon_masks=recon_masks)
+        eval_step = L.make_eval_step(model, ev_masks, ev_lambdas,
+                                     recon_masks=eval_recon_masks)
     n_batches = num_batches(len(train_ds), args.batch_size, True)
     mask_rng = np.random.default_rng(getattr(args, "seed", 0) + 1)
 

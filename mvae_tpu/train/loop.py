@@ -22,12 +22,15 @@ def decode_batch(batch):
 
 
 def make_train_step(model, tx, term_masks, term_lambdas, *,
-                    dynamic_masks: bool = False, device_data: bool = False):
+                    dynamic_masks: bool = False, device_data: bool = False,
+                    recon_masks=None):
     """Build the jitted training step.
 
     term_masks/term_lambdas: (T, M) arrays. With dynamic_masks=True the step
     takes (masks, lambdas) as runtime arguments instead (celeba19's sampled
     subset terms change every step — celeba19/train.py:286-302).
+    recon_masks: optional (T, M) reconstruction mask decoupled from the
+    posterior mask (vision; see core/engine.py:multi_term_elbo).
 
     device_data=True: the `batch` argument becomes (data, idx) where `data`
     is the FULL dataset resident on device and idx the (B,) batch indices —
@@ -41,6 +44,8 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
     """
     static_masks = None if dynamic_masks else jnp.asarray(term_masks, jnp.float32)
     static_lambdas = None if dynamic_masks else jnp.asarray(term_lambdas, jnp.float32)
+    rmasks = None if recon_masks is None else jnp.asarray(recon_masks,
+                                                          jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, rng, batch, beta,
@@ -56,7 +61,7 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
         def loss_fn(p):
             total, aux, new_state = multi_term_elbo(
                 model, p, state, batch_, masks, lambdas, sub, beta,
-                train=True)
+                train=True, recon_masks=rmasks)
             return total, (aux, new_state)
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
@@ -69,7 +74,7 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
 
 
 def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
-                          dynamic_masks: bool = False):
+                          dynamic_masks: bool = False, recon_masks=None):
     """K training steps in ONE dispatch via lax.scan over the batch-index
     windows — the device-resident pipeline's outer loop.
 
@@ -87,6 +92,8 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
                                                           jnp.float32)
     static_lambdas = None if dynamic_masks else jnp.asarray(term_lambdas,
                                                             jnp.float32)
+    rmasks = None if recon_masks is None else jnp.asarray(recon_masks,
+                                                          jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def multi_step(params, state, opt_state, rng, data, idxs, betas,
@@ -104,7 +111,8 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
 
             def loss_fn(pp):
                 total, aux, new_state = multi_term_elbo(
-                    model, pp, s, batch, m, lam, sub, beta, train=True)
+                    model, pp, s, batch, m, lam, sub, beta, train=True,
+                    recon_masks=rmasks)
                 return total, new_state
 
             (loss, new_state), grads = jax.value_and_grad(
@@ -121,10 +129,13 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
     return multi_step
 
 
-def make_multi_eval_step(model, term_masks, term_lambdas):
+def make_multi_eval_step(model, term_masks, term_lambdas, *,
+                         recon_masks=None):
     """K eval batches in one dispatch -> (K,) losses (device-data path)."""
     masks = jnp.asarray(term_masks, jnp.float32)
     lambdas = jnp.asarray(term_lambdas, jnp.float32)
+    rmasks = None if recon_masks is None else jnp.asarray(recon_masks,
+                                                          jnp.float32)
 
     @jax.jit
     def multi_eval(params, state, data, idxs):
@@ -133,7 +144,7 @@ def make_multi_eval_step(model, term_masks, term_lambdas):
                 {k: jnp.take(v, idx, axis=0) for k, v in data.items()})
             total, aux, _ = multi_term_elbo(
                 model, params, state, batch, masks, lambdas, None,
-                jnp.float32(1.0), train=False)
+                jnp.float32(1.0), train=False, recon_masks=rmasks)
             return None, total
         _, losses = jax.lax.scan(body, None, idxs)
         return losses
@@ -142,11 +153,13 @@ def make_multi_eval_step(model, term_masks, term_lambdas):
 
 
 def make_eval_step(model, term_masks, term_lambdas, *,
-                   device_data: bool = False):
+                   device_data: bool = False, recon_masks=None):
     """Eval: beta=1, no reparam noise (z = mu), running BN stats, no dropout
     (reference test(): mnist/train.py:229-253)."""
     masks = jnp.asarray(term_masks, jnp.float32)
     lambdas = jnp.asarray(term_lambdas, jnp.float32)
+    rmasks = None if recon_masks is None else jnp.asarray(recon_masks,
+                                                          jnp.float32)
 
     @jax.jit
     def eval_step(params, state, batch):
@@ -158,7 +171,7 @@ def make_eval_step(model, term_masks, term_lambdas, *,
         batch_ = decode_batch(batch_)
         total, aux, _ = multi_term_elbo(
             model, params, state, batch_, masks, lambdas, None,
-            jnp.float32(1.0), train=False)
+            jnp.float32(1.0), train=False, recon_masks=rmasks)
         return total, aux["per_term"]
 
     return eval_step

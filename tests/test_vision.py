@@ -56,3 +56,37 @@ def test_vision_joint_term_matches_reference_formula():
     bce = sum(model.recon_loss(m, recons[m], batch[m]) for m in MODALITIES)
     want = jnp.mean(bce / 6.0 + beta * kl_divergence(pd_mu, pd_lv))
     np.testing.assert_allclose(float(total), float(want), rtol=1e-5)
+
+
+def test_vision_unimodal_term_reconstructs_all_modalities():
+    """A unimodal posterior term must score ALL six reconstructions
+    (vision/train.py:227-283: model(image=image) decodes every modality and
+    elbo_loss receives all six pairs), so the recon mask is all-ones while
+    the posterior mask selects one expert."""
+    model = VisionMVAE(8)
+    params, state = model.init(jax.random.key(0))
+    batch = _batch(seed=5)
+    beta = 0.3
+    # term: posterior from modality 0 only, reconstruct everything
+    pmask = jnp.asarray(MASKS[1:2])                   # image-only posterior
+    rmask = jnp.ones((1, 6), jnp.float32)
+    total, _, _ = multi_term_elbo(
+        model, params, state, batch, pmask, jnp.asarray(LAMBDAS[:1]),
+        None, beta, train=False, recon_masks=rmask)
+
+    mu, logvar, _ = model.encode(params, state, batch, None, False)
+    pd_mu, pd_lv = masked_product_of_experts(mu, logvar, pmask[0])
+    recons, _ = model.decode(params, state, pd_mu, None, False)
+    bce = sum(model.recon_loss(m, recons[m], batch[m]) for m in MODALITIES)
+    want = jnp.mean(bce / 6.0 + beta * kl_divergence(pd_mu, pd_lv))
+    np.testing.assert_allclose(float(total), float(want), rtol=1e-5)
+
+    # and with recon_masks omitted it degrades to the coupled (wrong-for-
+    # vision) objective: only modality 0's BCE counts
+    got_coupled, _, _ = multi_term_elbo(
+        model, params, state, batch, pmask, jnp.asarray(LAMBDAS[:1]),
+        None, beta, train=False)
+    only0 = model.recon_loss(MODALITIES[0], recons[MODALITIES[0]],
+                             batch[MODALITIES[0]])
+    want0 = jnp.mean(only0 / 6.0 + beta * kl_divergence(pd_mu, pd_lv))
+    np.testing.assert_allclose(float(got_coupled), float(want0), rtol=1e-5)
