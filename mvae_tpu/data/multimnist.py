@@ -2,12 +2,19 @@
 
 Behavioral spec from /root/reference/multimnist/datasets.py:107-342:
   * per example, draw k ~ U{min_digits..max_digits} digits (default 0..4);
-  * each digit is the 28x28 source rescaled by s ~ N(1.3, 0.1) (:119-124),
-    placed at a random (or fixed) offset inside the 50x50 canvas;
-  * digits are summed onto the canvas; if any pixel exceeds 255 the sample
-    is REJECTED and redrawn (overlap rejection, :137-151);
-  * fixed-position variant uses pads [(4,4),(4,23),(23,4),(23,23)] with
-    options reverse / scramble / no-repeat (:207-290);
+  * each digit is the 28x28 source SHRUNK via imresize(digit, 1/s) with
+    s ~ N(1.3, 0.1) (:112-113) — output side int(28/s) ~= 21-22 px
+    (scipy.misc.imresize truncates the fractional size) — and placed at a
+    random offset in [0, 50-side-1] per axis (:120-122, randint excludes
+    the upper bound) or centered when translation is off;
+  * digits are SUMMED onto the canvas; if any final pixel exceeds 255 the
+    WHOLE canvas is rejected and redrawn — digit identities, scales and
+    positions are all resampled (:141-146); no clipping fallback exists,
+    and labels are only ever recorded for accepted canvases;
+  * fixed-position variant uses pads [(4,4),(4,23),(23,4),(23,23)] at fixed
+    scale 1.3 (side 21); `reverse` flips the LABEL string with prob 0.5,
+    `scramble` shuffles the LABEL string, `no_repeat` resamples a digit
+    until its label is unseen on this canvas (:220-250);
   * deterministic generation: np.random.seed(681307) (:187,:273);
   * 60k train / 10k test, saved to disk; label is the digit string.
 
@@ -47,70 +54,91 @@ def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
             + c * wy * (1 - wx) + d * wy * wx)
 
 
-def _place(canvas, digit, rng, *, resize=True, translate=True, pad=None):
-    """Add one digit; returns False on overlap (pixel > 255)."""
-    d = digit.astype(np.float32)
+def resized_side(s: float) -> int:
+    """scipy.misc.imresize(img, 1/s) output side: int truncation of 28/s
+    (multimnist/datasets.py:112-113). Clamped to the canvas for the
+    vanishing tail of the scale distribution (the reference would crash
+    there; s is ~8 sigma from any value that hits the clamp)."""
+    if s <= 0:
+        return 1
+    return int(np.clip(int(28.0 / s), 1, CANVAS))
+
+
+def _sample_one(digits_pool, labels_pool, rng, *, resize, translate):
+    """One shrunken digit positioned on a zero canvas
+    (multimnist/datasets.py:107-129)."""
+    i = int(rng.integers(0, len(digits_pool)))
+    d = digits_pool[i].astype(np.float32)
     if resize:
-        s = max(0.5, rng.normal(1.3, 0.1))
-        hw = max(1, min(CANVAS, int(round(28 * s))))
-        d = bilinear_resize(d, hw, hw)
-    h, w = d.shape
-    if pad is not None:
-        top, left = pad
-        top = min(top, CANVAS - h)
-        left = min(left, CANVAS - w)
-    elif translate:
-        top = rng.integers(0, CANVAS - h + 1)
-        left = rng.integers(0, CANVAS - w + 1)
+        s = 0.1 * rng.normal() + 1.3
+        side = resized_side(s)
+        d = bilinear_resize(d, side, side)
+    h = d.shape[0]
+    padding = CANVAS - h
+    if translate and padding > 0:
+        # randint(0, padding) EXCLUDES padding (:120-122)
+        top = int(rng.integers(0, padding))
+        left = int(rng.integers(0, padding))
     else:
-        top = left = (CANVAS - h) // 2
-    region = canvas[top:top + h, left:left + w]
-    if np.any(region + d > 255.0):
-        return False
-    region += d
-    return True
+        top = left = padding // 2
+    return d, top, left, int(labels_pool[i])
 
 
 def sample_multi(digits_pool, labels_pool, k, rng, *, resize, translate,
-                 max_tries=20):
-    """Compose k digits with overlap rejection; returns (canvas, labels)."""
+                 max_tries=10000):
+    """Compose k digits; reject and FULLY redraw (identities included) any
+    canvas whose summed max exceeds 255 (multimnist/datasets.py:141-146).
+    The reference retries unboundedly (recursively); max_tries only guards
+    pathological configs (e.g. --no-translate with k >= 2 digits, where the
+    reference would hit RecursionError)."""
     for _ in range(max_tries):
         canvas = np.zeros((CANVAS, CANVAS), np.float32)
-        chosen = rng.integers(0, len(digits_pool), size=k)
-        ok = True
-        for idx in chosen:
-            if not _place(canvas, digits_pool[idx], rng,
-                          resize=resize, translate=translate):
-                ok = False
-                break
-        if ok:
-            return canvas, [int(labels_pool[i]) for i in chosen]
-    # give up on rejection: return the (possibly clipped) last attempt
-    return np.clip(canvas, 0, 255), [int(labels_pool[i]) for i in chosen]
+        labels = []
+        for _ in range(k):
+            d, top, left, lab = _sample_one(
+                digits_pool, labels_pool, rng,
+                resize=resize, translate=translate)
+            h, w = d.shape
+            canvas[top:top + h, left:left + w] += d
+            labels.append(lab)
+        if canvas.max() <= 255.0:
+            return canvas, labels
+    raise RuntimeError(
+        f"multimnist: no non-overlapping canvas with k={k} digits after "
+        f"{max_tries} tries (the reference recurses forever here)")
 
 
 def sample_multi_fixed(digits_pool, labels_pool, k, rng, *, resize,
-                       scramble, reverse, no_repeat):
-    canvas = np.zeros((CANVAS, CANVAS), np.float32)
-    if no_repeat:
-        chosen = rng.choice(len(digits_pool), size=k, replace=False)
-    else:
-        chosen = rng.integers(0, len(digits_pool), size=k)
-    pads = FIXED_PADS[:k]
-    order = list(range(k))
-    if reverse:
-        order = order[::-1]
-    if scramble:
-        rng.shuffle(order)
-    for slot, i in enumerate(order):
-        d = digits_pool[chosen[i]].astype(np.float32)
-        if resize:
-            d = bilinear_resize(d, 23, 23)
-        top, left = pads[slot]
-        h, w = d.shape
-        canvas[top:top + h, left:left + w] = np.maximum(
-            canvas[top:top + h, left:left + w], d)
-    return np.clip(canvas, 0, 255), [int(labels_pool[i]) for i in chosen]
+                       scramble, reverse, no_repeat, max_tries=10000):
+    """Fixed-pad variant (multimnist/datasets.py:220-250): digits at fixed
+    scale 1.3 on pads in slot order; reverse flips the LABEL string with
+    prob 0.5, scramble shuffles the LABEL string, no_repeat redraws a digit
+    until its label is new; summed canvas with the same >255 rejection."""
+    del resize  # the reference always resizes in fixed mode (scale=1.3)
+    side = resized_side(1.3)
+    for _ in range(max_tries):
+        canvas = np.zeros((CANVAS, CANVAS), np.float32)
+        labels = []
+        for slot in range(k):
+            while True:
+                i = int(rng.integers(0, len(digits_pool)))
+                lab = int(labels_pool[i])
+                if not (no_repeat and lab in labels):
+                    break
+            d = bilinear_resize(digits_pool[i].astype(np.float32),
+                                side, side)
+            top, left = FIXED_PADS[slot]
+            canvas[top:top + side, left:left + side] += d
+            labels.append(lab)
+        if reverse and rng.random() > 0.5:
+            labels = labels[::-1]
+        if scramble:
+            rng.shuffle(labels)
+        if canvas.max() <= 255.0:
+            return canvas, labels
+    raise RuntimeError(
+        f"multimnist fixed: no non-overlapping canvas with k={k} digits "
+        f"after {max_tries} tries")
 
 
 def mk_dataset(n, digits_pool, labels_pool, rng, *, min_digits=0,
@@ -128,7 +156,8 @@ def mk_dataset(n, digits_pool, labels_pool, rng, *, min_digits=0,
             canvas, labels = sample_multi(
                 digits_pool, labels_pool, k, rng, resize=resize,
                 translate=translate)
-        images[i] = np.clip(canvas, 0, 255).astype(np.uint8)
+        # acceptance guarantees max <= 255 — no clipping ever happens
+        images[i] = canvas.astype(np.uint8)
         texts[i] = encode_digit_list(labels)
     return images, texts
 

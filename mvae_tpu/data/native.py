@@ -24,14 +24,17 @@ def load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
-        try:
-            _build()
-        except (subprocess.CalledProcessError, FileNotFoundError):
-            return None
-    lib = ctypes.CDLL(_SO)
+    ABI = 2
+    try:
+        # make no-ops when the .so is current; this keeps a stale build from
+        # an older source version out of the process (dlopen caches by path,
+        # so rebuild must happen BEFORE the first CDLL)
+        _build()
+        lib = ctypes.CDLL(_SO)
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        return None
     lib.mvae_native_abi_version.restype = ctypes.c_int
-    assert lib.mvae_native_abi_version() == 1
+    assert lib.mvae_native_abi_version() == ABI
     lib.multimnist_generate.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,

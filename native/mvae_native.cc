@@ -6,12 +6,15 @@
 //
 //   * multimnist_generate: the MultiMNIST compositing generator
 //     (behavioral spec: /root/reference/multimnist/datasets.py:107-204 —
-//     k ~ U{min..max} digits per 50x50 canvas, per-digit bilinear rescale
-//     by s ~ N(1.3, 0.1), random placement, overlap rejection when any
-//     summed pixel exceeds 255). The reference runs ~60k Python-level
-//     composites; this is the same algorithm in C++ (deterministic
-//     xorshift/Box-Muller RNG — documented divergence: not bit-identical
-//     to numpy's Generator, same distribution).
+//     k ~ U{min..max} digits per 50x50 canvas; each digit SHRUNK to side
+//     int(28/s), s ~ N(1.3, 0.1) (imresize(digit, 1/s) semantics, :112-113);
+//     random placement with offsets in [0, 50-side-1] (:120-122); digits
+//     summed; if any final pixel exceeds 255 the WHOLE canvas is redrawn —
+//     identities, scales and positions all resampled — and labels are only
+//     recorded for accepted canvases (:141-146)). The reference runs ~60k
+//     Python-level composites; this is the same algorithm in C++
+//     (deterministic xoshiro/Box-Muller RNG — documented divergence: not
+//     bit-identical to numpy's Generator, same distribution).
 //
 //   * gather_rows_{u8,f32}: shuffled-batch gather (index -> contiguous
 //     batch buffer), the per-step host cost of the input pipeline.
@@ -96,60 +99,71 @@ void multimnist_generate(const uint8_t* digits, const int32_t* labels,
                          int32_t* out_texts) {
   Rng rng(seed);
   float canvas[kCanvas * kCanvas];
-  float attempt[kCanvas * kCanvas];
   float srcbuf[kSrc * kSrc];
   float resized[kCanvas * kCanvas];
 
   for (int64_t i = 0; i < n_out; i++) {
     int k = min_digits + (int)rng.randint(max_digits - min_digits + 1);
-    int32_t chosen[kMaxLen] = {0, 0, 0, 0};
-    const int kMaxTries = 20;
+    int32_t accepted[kMaxLen] = {0, 0, 0, 0};
+    // Reject-and-fully-redraw: a canvas whose summed max exceeds 255 is
+    // discarded ENTIRELY (new digit identities, scales, positions), exactly
+    // as the reference's recursive retry (datasets.py:141-146). kMaxTries
+    // only guards pathological configs the reference would RecursionError
+    // on (e.g. no-translate with k >= 2).
+    const int kMaxTries = 10000;
     bool ok = false;
     for (int attempt_i = 0; attempt_i < kMaxTries && !ok; attempt_i++) {
       std::memset(canvas, 0, sizeof(canvas));
-      ok = true;
+      int32_t chosen[kMaxLen] = {0, 0, 0, 0};
       for (int j = 0; j < k; j++) {
         int64_t idx = rng.randint(n_pool);
-        chosen[j] = idx;
+        chosen[j] = (int32_t)labels[idx];
         const uint8_t* d8 = digits + idx * kSrc * kSrc;
         for (int p = 0; p < kSrc * kSrc; p++) srcbuf[p] = (float)d8[p];
         const float* img = srcbuf;
         int hw = kSrc;
         if (do_resize) {
-          double s = std::max(0.5, 1.3 + 0.1 * rng.normal());
-          hw = std::clamp((int)std::lround(kSrc * s), 1, kCanvas);
+          // imresize(digit, 1/s): side = int(28/s), truncated (:112-113)
+          double s = 1.3 + 0.1 * rng.normal();
+          hw = (s <= 0.0) ? 1 : std::clamp((int)(kSrc / s), 1, kCanvas);
           resize_digit(srcbuf, resized, hw);
           img = resized;
         }
+        int padding = kCanvas - hw;
         int top, left;
-        if (do_translate) {
-          top = (int)rng.randint(kCanvas - hw + 1);
-          left = (int)rng.randint(kCanvas - hw + 1);
+        if (do_translate && padding > 0) {
+          // randint(0, padding) EXCLUDES padding (:120-122)
+          top = (int)rng.randint(padding);
+          left = (int)rng.randint(padding);
         } else {
-          top = left = (kCanvas - hw) / 2;
+          top = left = padding / 2;
         }
-        // overlap rejection: any summed pixel > 255 rejects the sample
-        std::memcpy(attempt, canvas, sizeof(canvas));
-        bool clipped = false;
-        for (int y = 0; y < hw && !clipped; y++) {
+        for (int y = 0; y < hw; y++) {
           for (int x = 0; x < hw; x++) {
-            float v = attempt[(top + y) * kCanvas + (left + x)] +
-                      img[y * hw + x];
-            if (v > 255.0f) { clipped = true; break; }
-            attempt[(top + y) * kCanvas + (left + x)] = v;
+            canvas[(top + y) * kCanvas + (left + x)] += img[y * hw + x];
           }
         }
-        if (clipped) { ok = false; break; }
-        std::memcpy(canvas, attempt, sizeof(canvas));
       }
+      float mx = 0.0f;
+      for (int p = 0; p < kCanvas * kCanvas; p++) mx = std::max(mx, canvas[p]);
+      if (mx <= 255.0f) {
+        ok = true;
+        for (int j = 0; j < k; j++) accepted[j] = chosen[j];
+      }
+    }
+    if (!ok) {
+      // unreachable for the reference's configurations; emit an empty
+      // canvas rather than a clipped lie
+      std::memset(canvas, 0, sizeof(canvas));
+      k = 0;
     }
     uint8_t* out = out_images + i * kCanvas * kCanvas;
     for (int p = 0; p < kCanvas * kCanvas; p++) {
-      out[p] = (uint8_t)std::clamp(canvas[p], 0.0f, 255.0f);
+      out[p] = (uint8_t)canvas[p];
     }
     int32_t* text = out_texts + i * kMaxLen;
     for (int j = 0; j < kMaxLen; j++) {
-      text[j] = (j < k) ? labels[chosen[j]] : kFill;
+      text[j] = (j < k) ? accepted[j] : kFill;
     }
   }
 }
@@ -169,6 +183,6 @@ void gather_rows_f32(const float* src, const int64_t* idx, float* dst,
   }
 }
 
-int mvae_native_abi_version() { return 1; }
+int mvae_native_abi_version() { return 2; }
 
 }  // extern "C"
