@@ -6,25 +6,49 @@ pool rebuilt-scanned with numpy EVERY STEP), then per step draw `m` subsets
 STRATIFIED BY SIZE: first a size s ~ Uniform{2..n-1} (every size class is
 non-empty so bincount>0 keeps all), then a uniform combination of that size.
 
-Equivalent direct sampler (no 2^19 pool materialization): draw
-s ~ U{2..n-1}, then a uniform s-subset of the n indices. Distribution is
-identical; cost is O(m*n) per step instead of O(2^n) memory.
+Equivalent direct sampler (no 2^19 pool materialization): draw the m sizes
+s ~ U{2..n-1} WITH replacement (np.random.choice(pool_space, size,
+replace=True), :126), then within each size class draw that many DISTINCT
+uniform s-subsets (np.random.choice(range(pool_i), sample_dist[s],
+replace=False), :133-138 — no replacement within a class). Rejection
+sampling of distinct subsets is distribution-identical to choosing
+without replacement from the full enumeration; cost is O(m*n) per step
+instead of O(2^n) memory. Like the reference, the emitted rows are grouped
+by size ascending.
 
 The per-step masks feed the jitted multi-term step as a runtime array —
 one compiled graph serves every subset choice.
 """
+
+import math
 
 import numpy as np
 
 
 def sample_subset_masks(rng: np.random.Generator, m: int, n: int = 19
                         ) -> np.ndarray:
-    """(m, n) 0/1 masks; sizes stratified-uniform over 2..n-1."""
+    """(m, n) 0/1 masks; sizes stratified-uniform over 2..n-1 (with
+    replacement), subsets distinct WITHIN each size class (the reference's
+    per-class replace=False, celeba19/train.py:133-138)."""
+    sizes = rng.integers(2, n, size=m)         # 2..n-1 inclusive
     masks = np.zeros((m, n), np.float32)
-    for j in range(m):
-        s = int(rng.integers(2, n))            # 2..n-1 inclusive
-        idx = rng.choice(n, size=s, replace=False)
-        masks[j, idx] = 1.0
+    row = 0
+    for s in sorted(set(int(v) for v in sizes)):
+        count = int(np.sum(sizes == s))
+        if count > math.comb(n, s):
+            # the reference's np.random.choice(..., replace=False) raises
+            # here too; unreachable for n=19 at any sane approx_m
+            raise ValueError(
+                f"cannot draw {count} distinct subsets of size {s} from "
+                f"{n} modalities")
+        seen = []
+        while len(seen) < count:
+            idx = tuple(sorted(rng.choice(n, size=s, replace=False)))
+            if idx not in seen:
+                seen.append(idx)
+        for combo in seen:
+            masks[row, list(combo)] = 1.0
+            row += 1
     return masks
 
 

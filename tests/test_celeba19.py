@@ -45,13 +45,37 @@ def test_stacked_attr_encoder_matches_per_expert_loop():
 
 
 def test_subset_sampler_invariants():
+    # accumulate over steps at the canonical approx_m=1: one call of m=500
+    # would (correctly) raise, since e.g. the size-18 class only holds 19
+    # distinct subsets and within-class draws are without replacement
     rng = np.random.default_rng(0)
-    masks = sample_subset_masks(rng, 500, 19)
+    masks = np.concatenate(
+        [sample_subset_masks(rng, 1, 19) for _ in range(500)])
     sizes = masks.sum(axis=1)
     assert sizes.min() >= 2 and sizes.max() <= 18   # no singleton/full sets
     # stratified-by-size: every size class appears over many draws
     assert len(np.unique(sizes)) == 17
     assert set(np.unique(masks)) == {0.0, 1.0}
+
+
+def test_subset_sampler_no_replacement_within_size_class():
+    """The reference draws WITHOUT replacement within each size class
+    (celeba19/train.py:133-138): one step's sampled subsets of equal size
+    are all distinct. With n=6 and many draws, duplicates would be near
+    certain under independent sampling (smallest class C(6,5)=6 combos)."""
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        masks = sample_subset_masks(rng, 6, 6)
+        sizes = masks.sum(axis=1)
+        assert np.all(np.diff(sizes) >= 0)      # grouped by size ascending
+        for s in np.unique(sizes):
+            rows = masks[sizes == s]
+            assert len(np.unique(rows, axis=0)) == len(rows)
+    # over-asking more distinct subsets than a class holds must raise like
+    # the reference's np.random.choice(..., replace=False)
+    import pytest
+    with pytest.raises(ValueError):   # n=3 only has C(3,2)=3 subsets < 4
+        sample_subset_masks(np.random.default_rng(0), 4, 3)
 
 
 def test_term_count_invariant():
