@@ -24,9 +24,9 @@ def main(argv=None):
                           variant="FashionMNIST", flatten=False)
     test_ds = load_mnist(args.data_dir, train=False,
                          variant="FashionMNIST", flatten=False)
-    if args.bf16:
-        print('note: --bf16 has no effect for this model family')
-    model = FashionMnistMVAE(args.n_latents)
+    import jax.numpy as jnp
+    model = FashionMnistMVAE(args.n_latents,
+                             compute_dtype=jnp.bfloat16 if args.bf16 else None)
     lambdas = [[args.lambda_image, args.lambda_text]] * 3
     # eval uses DEFAULT lambdas (1.0), matching the reference test()
     # (fashionmnist/train.py:256-258 — no lambda kwargs)

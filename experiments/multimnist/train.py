@@ -20,9 +20,9 @@ def main(argv=None):
                         lr=1e-3).parse_args(argv)
     train_ds = load_multimnist(args.data_dir, train=True)
     test_ds = load_multimnist(args.data_dir, train=False)
-    if args.bf16:
-        print('note: --bf16 has no effect for this model family')
-    model = MultiMnistMVAE(args.n_latents)
+    import jax.numpy as jnp
+    model = MultiMnistMVAE(args.n_latents,
+                           compute_dtype=jnp.bfloat16 if args.bf16 else None)
     lambdas = [[args.lambda_image, args.lambda_text]] * 3
     # eval uses DEFAULT lambdas (1.0), matching the reference test()
     # (multimnist/train.py:256-258 — no lambda kwargs)

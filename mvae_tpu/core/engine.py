@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from mvae_tpu.core.poe import masked_product_of_experts
 from mvae_tpu.core.losses import kl_divergence
+from mvae_tpu.core.sampling import reparametrize
 
 
 def _use_pallas() -> bool:
@@ -79,12 +80,9 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
         fuse = jax.vmap(masked_product_of_experts, in_axes=(None, None, 0))
         pd_mu, pd_logvar = fuse(mu, logvar, term_masks)      # (T, B, D)
 
-    # 3. reparametrize (independent eps per term)
-    if train:
-        eps = jax.random.normal(rngs[1], pd_mu.shape, pd_mu.dtype)
-        z = pd_mu + eps * jnp.exp(0.5 * pd_logvar)
-    else:
-        z = pd_mu  # eval mode returns the mean (mnist/model.py:34-35)
+    # 3. reparametrize (independent eps per term); eval mode returns the
+    # mean (mnist/model.py:34-35)
+    z = reparametrize(rngs[1], pd_mu, pd_logvar, train=train)
 
     # 4. decode all terms at once
     T = term_masks.shape[0]

@@ -15,10 +15,3 @@ def reparametrize(key, mu, logvar, *, train: bool):
     std = jnp.exp(0.5 * logvar)
     eps = jax.random.normal(key, mu.shape, mu.dtype)
     return mu + eps * std
-
-
-def sample_gaussian(key, mu, std, n_samples: int):
-    """Draw n_samples z ~ N(mu, std^2) for generation (sample.py semantics:
-    mnist/sample.py:103-109)."""
-    eps = jax.random.normal(key, (n_samples,) + mu.shape[-1:], mu.dtype)
-    return mu + eps * std

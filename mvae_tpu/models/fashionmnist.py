@@ -28,8 +28,10 @@ DEC_SPECS = [(64, 4, 2, 1, False), (1, 4, 2, 1, False)]     # 7->14->28
 class FashionMnistMVAE(MultimodalVAE):
     modalities = ("image", "text")
 
-    def __init__(self, n_latents: int = 64):
+    def __init__(self, n_latents: int = 64, compute_dtype=None):
         self.n_latents = n_latents
+        # mixed precision covers the conv stacks; text MLPs stay f32
+        self.compute_dtype = compute_dtype
 
     def input_spec(self):
         return {"image": ((28, 28, 1), jnp.float32), "text": ((), jnp.int32)}
@@ -57,7 +59,9 @@ class FashionMnistMVAE(MultimodalVAE):
         L = self.n_latents
         x = inputs["image"].reshape(-1, 28, 28, 1)
         h, _ = conv_stack_apply(params["image_enc"]["conv"], [{}] * 2,
-                                ENC_SPECS, x, train=train)
+                                ENC_SPECS, x, train=train,
+                                dtype=self.compute_dtype)
+        h = h.astype(jnp.float32)
         h = swish(linear(params["image_enc"]["fc"], h.reshape(h.shape[0], -1)))
         img_p = linear(params["image_enc"]["head"], h)
 
@@ -74,7 +78,8 @@ class FashionMnistMVAE(MultimodalVAE):
         h = mlp_apply(params["image_dec"]["up"], z, final_activation=True)
         h = h.reshape(-1, 7, 7, 128)
         img, _ = deconv_stack_apply(params["image_dec"]["deconv"], [{}] * 2,
-                                    DEC_SPECS, h, train=train)
+                                    DEC_SPECS, h, train=train,
+                                    dtype=self.compute_dtype)
         txt = mlp_apply(params["text_dec"], z)
         return {"image": img, "text": txt}, state["dec"]
 

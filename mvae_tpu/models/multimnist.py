@@ -41,8 +41,11 @@ H = 200  # GRU hidden size
 class MultiMnistMVAE(MultimodalVAE):
     modalities = ("image", "text")
 
-    def __init__(self, n_latents: int = 64):
+    def __init__(self, n_latents: int = 64, compute_dtype=None):
         self.n_latents = n_latents
+        # mixed precision covers the conv stacks (where the FLOPs are);
+        # GRU/text nets and BN statistics stay f32
+        self.compute_dtype = compute_dtype
 
     def input_spec(self):
         return {"image": ((50, 50, 1), jnp.float32),
@@ -77,10 +80,11 @@ class MultiMnistMVAE(MultimodalVAE):
         x = inputs["image"].reshape(-1, 50, 50, 1)
         h, conv_st = conv_stack_apply(params["image_enc"]["conv"],
                                       state["enc"]["image"], ENC_SPECS, x,
-                                      train=train)
+                                      train=train, dtype=self.compute_dtype)
         img_p = head_apply(params["image_enc"]["head"],
                            h.reshape(h.shape[0], -1),
-                           rng=rng, train=train, dropout_rate=0.1)
+                           rng=rng, train=train, dropout_rate=0.1,
+                           dtype=self.compute_dtype)
 
         te = params["text_enc"]
         emb = jnp.take(te["embed"]["table"], inputs["text"], axis=0)  # (B,T,H)
@@ -97,7 +101,8 @@ class MultiMnistMVAE(MultimodalVAE):
         h = h.reshape(-1, 2, 2, 256)
         img, deconv_st = deconv_stack_apply(params["image_dec"]["deconv"],
                                             state["dec"]["image"], DEC_SPECS,
-                                            h, train=train)
+                                            h, train=train,
+                                            dtype=self.compute_dtype)
         txt = self._decode_text(params["text_dec"], z, rng, train)
         return {"image": img, "text": txt}, {"image": deconv_st}
 

@@ -42,8 +42,8 @@ class Sampler:
             recons, _ = model.decode(params, state, z, None, False)
             return _activate(recons)
 
-        @jax.jit
-        def _embed(*, names, values):
+        @functools.partial(jax.jit, static_argnames=("names",))
+        def _embed(names, *values):
             return model.infer(params, state, dict(zip(names, values)))
 
         def _activate(recons):
@@ -55,6 +55,7 @@ class Sampler:
 
         self._sample_prior = _sample_prior
         self._sample_cond = _sample_cond
+        self._embed = _embed
         self._activate = _activate
 
     @classmethod
@@ -73,8 +74,10 @@ class Sampler:
         return self._sample_cond(key, n, names, *values)
 
     def embed(self, inputs: dict):
-        """Fused posterior (mu, logvar) for the provided modalities."""
-        return self.model.infer(self.params, self.state, inputs)
+        """Fused posterior (mu, logvar) for the provided modalities
+        (compiled once per modality-set, like the other endpoints)."""
+        names = tuple(sorted(inputs))
+        return self._embed(names, *(jnp.asarray(inputs[k]) for k in names))
 
     def reconstruct(self, inputs: dict):
         """Cross-modal reconstruction: infer from `inputs`, decode ALL

@@ -31,12 +31,19 @@ def save_checkpoint(train_state: dict, meta: dict, is_best: bool,
     """train_state: pytree of arrays (params/state/opt_state/rng/...);
     meta: JSON-serializable dict (n_latents, model, epoch, best_loss, ...)."""
     os.makedirs(folder, exist_ok=True)
-    for stale in os.listdir(folder):       # tmp left by a killed process
-        if stale.endswith(".tmp"):
-            try:
-                os.unlink(os.path.join(folder, stale))
-            except OSError:
-                pass
+    # Clean tmp files left by a KILLED process only: an age threshold keeps
+    # two live runs sharing an out_dir (the default ./trained_models is
+    # shared across experiments) from deleting each other's in-flight
+    # mkstemp file mid-save.
+    import time
+    now = time.time()
+    for stale in os.listdir(folder):
+        p = os.path.join(folder, stale)
+        try:
+            if stale.endswith(".tmp") and now - os.path.getmtime(p) > 3600:
+                os.unlink(p)
+        except OSError:
+            pass
     host_state = jax.device_get(train_state)
     payload = {"meta": np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8).copy(),
