@@ -45,10 +45,11 @@ def measure_ours():
                                   [[10.0, 1.0]] * 3)
     host = np.random.default_rng(0)
     n = 2000
+    # device-resident layout: (D, n_loc, ...) with D=1 on a single chip
     data = {
-        "image": jax.device_put((host.random((n, 64, 64, 3)) * 255
+        "image": jax.device_put((host.random((1, n, 64, 64, 3)) * 255
                                  ).astype(np.uint8)),
-        "attrs": jax.device_put((host.random((n, N_ATTRS)) < 0.3
+        "attrs": jax.device_put((host.random((1, n, N_ATTRS)) < 0.3
                                  ).astype(np.float32)),
     }
     K = ITERS
@@ -56,7 +57,8 @@ def measure_ours():
 
     def window(args, seed):
         idxs = jnp.asarray(
-            np.random.default_rng(seed).integers(0, n, (K, BATCH)), jnp.int32)
+            np.random.default_rng(seed).integers(0, n, (K, 1, BATCH)),
+            jnp.int32)
         out = multi(*args, data, idxs, betas)
         return out[:4], out[4]
 
@@ -64,16 +66,29 @@ def measure_ours():
     for w in range(2):                      # compile + warm
         args, losses = window(args, w)
     float(losses[-1])
+
+    # FLOPs of one fused K-step dispatch from XLA's cost analysis
+    flops_per_step = None
+    try:
+        idxs0 = jnp.zeros((K, 1, BATCH), jnp.int32)
+        cost = (multi.lower(*args, data, idxs0, betas)
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost["flops"]) / K
+    except Exception:
+        pass
+
     # NOTE: fence each window with a host fetch of the final loss —
     # block_until_ready on donated pytrees proved unreliable over this
     # backend (returned before execution finished, inflating steps/sec 20x)
-    t0 = time.perf_counter()
-    n_windows = 2
-    for w in range(n_windows):
+    rates = []
+    for w in range(5):                      # >= 5 windows: mean +- sd
+        t0 = time.perf_counter()
         args, losses = window(args, 10 + w)
         float(losses[-1])
-    dt = time.perf_counter() - t0
-    return n_windows * K / dt
+        rates.append(K / (time.perf_counter() - t0))
+    return rates, flops_per_step
 
 
 def measure_torch_baseline(iters=3):
@@ -190,13 +205,22 @@ def measure_torch_baseline(iters=3):
 
 def main():
     baseline = measure_torch_baseline()
-    ours = measure_ours()
-    print(json.dumps({
+    rates, flops_per_step = measure_ours()
+    mean = sum(rates) / len(rates)
+    sd = (sum((r - mean) ** 2 for r in rates) / len(rates)) ** 0.5
+    out = {
         "metric": "celeba_train_steps_per_sec",
-        "value": round(ours, 3),
+        "value": round(mean, 3),
         "unit": "steps/sec (batch=100, 3 ELBO terms)",
-        "vs_baseline": round(ours / baseline["steps_per_sec"], 2),
-    }))
+        "vs_baseline": round(mean / baseline["steps_per_sec"], 2),
+        "sd": round(sd, 3),
+        "windows": [round(r, 1) for r in rates],
+        "baseline_steps_per_sec": round(baseline["steps_per_sec"], 4),
+    }
+    if flops_per_step:
+        out["tflops_sustained"] = round(flops_per_step * mean / 1e12, 2)
+        out["flops_per_step"] = flops_per_step
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

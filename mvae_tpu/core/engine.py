@@ -20,10 +20,13 @@ TPU-native reformulation (this module):
 
 BatchNorm note: decoders with BN are vmapped over the term axis, so batch
 statistics are per-term — the same statistics the reference's
-one-forward-per-term evaluation sees. Running stats get ONE EMA commit per
-step using the term-averaged batch statistics (the reference commits T
-sequential EMA updates; difference is O(momentum^2), documented in
-SURVEY-parity notes).
+one-forward-per-term evaluation sees. Running stats are committed with the
+EXACT sequential-EMA composition the reference produces (one commit per
+term in term order for decoders, one commit per term-where-present for
+encoders): each vmapped per-term state is affine in that term's batch
+moments, so the T sequential updates fold into a closed form
+(commit_ema_states). Verified bit-level against torch in
+tests/test_golden_parity_conv.py.
 """
 
 import jax
@@ -32,11 +35,53 @@ import jax.numpy as jnp
 from mvae_tpu.core.poe import masked_product_of_experts
 from mvae_tpu.core.losses import kl_divergence
 from mvae_tpu.core.sampling import reparametrize
+from mvae_tpu.nn.norm import BN_MOMENTUM
 
 
 def _use_pallas() -> bool:
     import os
     return os.environ.get("MVAE_PALLAS") == "1" and len(jax.devices()) == 1
+
+
+def commit_ema_states(model, state, enc_state, dec_states, term_masks):
+    """Reproduce the reference's sequential BN-EMA commits exactly.
+
+    The reference runs one eager forward per ELBO term: every forward
+    decodes ALL modalities (so decoder BN stats get T sequential commits in
+    term order, mnist/train.py:200-202), and encodes only the PRESENT
+    modalities (so modality m's encoder gets sum(term_masks[:, m]) commits,
+    all with identical batch moments since the batch does not change within
+    a step).
+
+    The engine computes each term's candidate state once (vmapped):
+      s_t = (1-mom)*old + mom*m_t,  which is affine in the term's moments
+    so the sequential composition folds closed-form:
+      new = (1-mom)^T old + sum_t (1-mom)^(T-1-t) (s_t - (1-mom) old)
+    and the k identical encoder commits fold to
+      new = old + ((1-(1-mom)^k)/mom) (s - old).
+
+    Assumes every stateful layer is a BatchNorm running-stat EMA with the
+    framework-wide BN_MOMENTUM (nn/norm.py).
+    """
+    mom = BN_MOMENTUM
+    T = term_masks.shape[0]
+
+    def _seq(old, stacked):        # stacked: (T, ...) per-term states
+        w = (1.0 - mom) ** jnp.arange(T - 1, -1, -1)
+        w = w.reshape((T,) + (1,) * (stacked.ndim - 1)).astype(stacked.dtype)
+        return ((1.0 - mom) ** T * old
+                + jnp.sum(w * (stacked - (1.0 - mom) * old), axis=0))
+
+    dec_new = jax.tree_util.tree_map(_seq, state["dec"], dec_states)
+
+    enc_new = {}
+    for name, sub in enc_state.items():    # keyed by modality name
+        k = jnp.sum(term_masks[:, model.modality_index(name)])
+        q = 1.0 - (1.0 - mom) ** k         # k folded same-moment commits
+        enc_new[name] = jax.tree_util.tree_map(
+            lambda old, s: old + (q / mom) * (s - old),
+            state["enc"][name], sub)
+    return model.merge_state(enc_new, dec_new)
 
 
 def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
@@ -107,11 +152,8 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
     total = jnp.sum(per_term)
 
     if train:
-        # enc subtree updated by the single encode pass; dec subtree stacked
-        # over the term axis — commit the term-mean as this step's EMA update.
-        dec_mean = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0),
-                                          dec_states)
-        new_state = model.merge_state(enc_state, dec_mean)
+        new_state = commit_ema_states(model, state, enc_state, dec_states,
+                                      term_masks)
     else:
         new_state = state
     aux = {"per_term": per_term, "mu": pd_mu[0], "logvar": pd_logvar[0]}

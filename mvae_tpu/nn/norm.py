@@ -15,6 +15,11 @@ the caller averages the per-term new states before committing the EMA update.
 
 import jax.numpy as jnp
 
+# torch default momentum; the engine's exact sequential-EMA composition
+# (core/engine.py:commit_ema_states) assumes every BN in the framework
+# uses this value
+BN_MOMENTUM = 0.1
+
 
 def batchnorm_init(c: int, dtype=jnp.float32):
     params = {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
@@ -22,8 +27,8 @@ def batchnorm_init(c: int, dtype=jnp.float32):
     return params, state
 
 
-def batchnorm_apply(params, state, x, *, train: bool, momentum: float = 0.1,
-                    eps: float = 1e-5):
+def batchnorm_apply(params, state, x, *, train: bool,
+                    momentum: float = BN_MOMENTUM, eps: float = 1e-5):
     """x: (..., C); normalizes over all leading axes."""
     if train:
         axes = tuple(range(x.ndim - 1))

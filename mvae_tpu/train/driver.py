@@ -69,11 +69,14 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                 (params, state, opt_state), rep)
             print(f"data-parallel over {mesh.devices.size} devices")
 
-    # Device-resident input pipeline: when single-device and the dataset
-    # fits an HBM budget, park ALL data on the chip (images as uint8, 4x
-    # smaller; decoded to f32 inside the step) and transfer only (B,) batch
-    # indices per step. Over this environment's tunneled chip that turns a
-    # transfer-bound 24 steps/sec into compute-bound training.
+    # Device-resident input pipeline: when the dataset fits an HBM budget,
+    # park ALL data on the chip(s) (images as uint8, 4x smaller; decoded to
+    # f32 inside the step) and transfer only batch indices per step. Over
+    # this environment's tunneled chip that turns a transfer-bound 24
+    # steps/sec into compute-bound training. Under a mesh the data shards
+    # over the "data" axis — each chip keeps 1/D of the set resident and
+    # gathers only local rows (loop.gather_local), so the multi-chip
+    # configuration IS the fast configuration.
     def _bytes(ds):
         return sum(v.nbytes // (4 if _is_image(v) else 1)
                    for v in ds.arrays.values())
@@ -81,16 +84,24 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
     def _is_image(v):
         return v.dtype == np.float32 and v.ndim >= 3
 
+    n_shards = mesh.shape["data"] if mesh is not None else 1
+
     def _to_device_data(ds):
+        n = len(ds) - len(ds) % n_shards
         out = {}
         for k, v in ds.arrays.items():
             if _is_image(v):
                 v = np.round(v * 255.0).astype(np.uint8)
-            out[k] = jax.device_put(v)
+            v = np.ascontiguousarray(v[:n]).reshape(
+                (n_shards, n // n_shards) + v.shape[1:])
+            out[k] = (jax.device_put(v, batch_sharding(mesh))
+                      if mesh is not None else jax.device_put(v))
         return out
 
-    device_data = (mesh is None and not getattr(args, "no_device_data", False)
-                   and _bytes(train_ds) + _bytes(test_ds) < 6 * 2 ** 30)
+    device_data = (not getattr(args, "no_device_data", False)
+                   and args.batch_size % n_shards == 0
+                   and (_bytes(train_ds) + _bytes(test_ds)) // n_shards
+                   < 6 * 2 ** 30)
 
     dynamic = make_masks is not None
     ev_masks = term_masks if eval_term_masks is None else eval_term_masks
@@ -107,8 +118,10 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                                             recon_masks=eval_recon_masks)
         train_dev = _to_device_data(train_ds)
         test_dev = _to_device_data(test_ds)
+        shard_note = (f", sharded over {n_shards} chips"
+                      if n_shards > 1 else "")
         print("input pipeline: device-resident "
-              f"({_bytes(train_ds) / 2**20:.0f} MiB on-chip), "
+              f"({_bytes(train_ds) / 2**20:.0f} MiB on-chip{shard_note}), "
               f"{args.log_interval} steps/dispatch")
     else:
         train_step = L.make_train_step(model, tx, term_masks, term_lambdas,
@@ -133,19 +146,26 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
     profile_dir = getattr(args, "profile_dir", None)
 
     def run_epoch_device(epoch, params, state, opt_state, rng, meter):
-        """Chunked lax.scan dispatches over the shuffled index matrix."""
+        """Chunked lax.scan dispatches over the shuffled index matrix.
+
+        Multi-chip: each shard shuffles and consumes its OWN resident rows
+        (sharded-files semantics — every example is seen once per epoch,
+        batch composition is per-shard rather than a global shuffle)."""
         B, K = args.batch_size, max(1, args.log_interval)
-        idx = np.arange(len(train_ds))
-        np.random.default_rng(np.random.SeedSequence(
-            [seed, epoch])).shuffle(idx)
-        stop = len(train_ds) - len(train_ds) % B
+        D = n_shards
+        b = B // D
+        n_loc = (len(train_ds) - len(train_ds) % D) // D
+        perms = np.stack([
+            np.random.default_rng(np.random.SeedSequence(
+                [seed, epoch, d])).permutation(n_loc)
+            for d in range(D)])                       # (D, n_loc)
+        steps = n_loc // b
         step_i = 0
-        for lo_i in range(0, stop, B * K):
-            k = min(K, (stop - lo_i) // B)
-            if k == 0:
-                break
+        for lo in range(0, steps, K):
+            k = min(K, steps - lo)
             idxs = jnp.asarray(
-                idx[lo_i:lo_i + k * B].reshape(k, B), jnp.int32)
+                perms[:, lo * b:(lo + k) * b]
+                .reshape(D, k, b).transpose(1, 0, 2), jnp.int32)  # (k, D, b)
             betas = jnp.asarray([
                 annealing_factor(epoch, step_i + j, n_batches,
                                  args.annealing_epochs) for j in range(k)],
@@ -216,10 +236,14 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
         test_meter = L.AverageMeter()
         if device_data:
             B = args.batch_size
-            n_eval = len(test_ds) - len(test_ds) % B
-            if n_eval:
+            D = n_shards
+            b = B // D
+            n_loc = (len(test_ds) - len(test_ds) % D) // D
+            ev_steps = n_loc // b
+            if ev_steps:
+                base = np.arange(ev_steps * b).reshape(ev_steps, 1, b)
                 idxs = jnp.asarray(
-                    np.arange(n_eval).reshape(-1, B), jnp.int32)
+                    np.broadcast_to(base, (ev_steps, D, b)), jnp.int32)
                 for v in np.asarray(multi_eval(params, state, test_dev,
                                                idxs)):
                     test_meter.update(float(v), B)

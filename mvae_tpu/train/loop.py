@@ -73,6 +73,24 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
     return train_step
 
 
+def gather_local(data, idx):
+    """Per-shard batched gather for the device-resident pipeline.
+
+    data: dict name -> (D, n_loc, ...) — the dataset reshaped so its leading
+    axis matches the mesh "data" axis (D=1 single-device). idx: (D, b) of
+    LOCAL row indices. vmapping the gather over the leading axis makes it a
+    batched gather whose batch dim is the sharded one, so GSPMD partitions
+    it with NO cross-device collective — each chip gathers rows of its own
+    resident shard. The (D, b) -> (D*b,) reshape keeps the batch sharded
+    over "data" for the rest of the step.
+    """
+    out = {}
+    for k, v in data.items():
+        g = jax.vmap(lambda a, i: jnp.take(a, i, axis=0))(v, idx)
+        out[k] = g.reshape((-1,) + g.shape[2:])
+    return out
+
+
 def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
                           dynamic_masks: bool = False, recon_masks=None):
     """K training steps in ONE dispatch via lax.scan over the batch-index
@@ -83,9 +101,14 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
     epoch (600 x 40 ms vs 600 x 5 ms of compute). Scanning K steps per
     dispatch returns ONE (K,) loss buffer — one fetch per logging window.
 
+    Works under a GSPMD mesh: `data` arrives sharded NamedSharding(P("data"))
+    on its leading (D,) axis, idx rows hold per-shard LOCAL indices, and the
+    per-shard gather (gather_local) keeps every gather on-chip; XLA inserts
+    only the gradient psums.
+
     Signature:
-        (params, state, opt_state, rng, data, idxs (K, B), betas (K,)
-         [, masks (K, T, M), lambdas (K, T, M)])
+        (params, state, opt_state, rng, data {name: (D, n_loc, ...)},
+         idxs (K, D, b), betas (K,) [, masks (K, T, M), lambdas (K, T, M)])
         -> (params, state, opt_state, rng, losses (K,))
     """
     static_masks = None if dynamic_masks else jnp.asarray(term_masks,
@@ -106,8 +129,7 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
                 idx, beta = xs
                 m, lam = static_masks, static_lambdas
             r, sub = jax.random.split(r)
-            batch = decode_batch(
-                {k: jnp.take(v, idx, axis=0) for k, v in data.items()})
+            batch = decode_batch(gather_local(data, idx))
 
             def loss_fn(pp):
                 total, aux, new_state = multi_term_elbo(
@@ -131,7 +153,8 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
 
 def make_multi_eval_step(model, term_masks, term_lambdas, *,
                          recon_masks=None):
-    """K eval batches in one dispatch -> (K,) losses (device-data path)."""
+    """K eval batches in one dispatch -> (K,) losses (device-data path).
+    data: {name: (D, n_loc, ...)}; idxs: (K, D, b) local indices."""
     masks = jnp.asarray(term_masks, jnp.float32)
     lambdas = jnp.asarray(term_lambdas, jnp.float32)
     rmasks = None if recon_masks is None else jnp.asarray(recon_masks,
@@ -140,8 +163,7 @@ def make_multi_eval_step(model, term_masks, term_lambdas, *,
     @jax.jit
     def multi_eval(params, state, data, idxs):
         def body(_, idx):
-            batch = decode_batch(
-                {k: jnp.take(v, idx, axis=0) for k, v in data.items()})
+            batch = decode_batch(gather_local(data, idx))
             total, aux, _ = multi_term_elbo(
                 model, params, state, batch, masks, lambdas, None,
                 jnp.float32(1.0), train=False, recon_masks=rmasks)

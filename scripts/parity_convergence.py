@@ -1,0 +1,271 @@
+"""Trained-to-convergence parity: this framework vs an eager-PyTorch
+re-implementation of the reference MNIST MVAE, on an identical protocol.
+
+The reference publishes no numeric results (BASELINE.md), so the comparison
+baseline is a locally run, reference-faithful torch training (3 eager
+forwards per step, mnist/train.py:196-219; Adam; linear KL annealing;
+eval with default lambdas, :246-248). Both sides consume the SAME
+deterministic synthetic-MNIST arrays (mvae_tpu.data.mnist.synthetic_mnist —
+this environment has no network egress for the real IDX files; protocol is
+identical on both sides, which is what parity requires).
+
+Outputs PARITY_convergence.json with final test ELBO and IWAE log p(image)
+at K=100/500 (q(z|image,text) proposal, README.md:36 recipe) for both
+frameworks, plus relative differences.
+
+Run:  python scripts/parity_convergence.py            (~5-10 min: torch side
+      is eager CPU; the jax side trains in seconds on the TPU)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np                                            # noqa: E402
+
+PROTOCOL = dict(n_latents=64, batch_size=100, lr=1e-3, epochs=20,
+                annealing_epochs=10, lambda_image=1.0, lambda_text=10.0,
+                n_train=20000, n_test=2000, iwae_examples=1000,
+                iwae_batch=100)
+
+
+def _data():
+    from mvae_tpu.data.mnist import synthetic_mnist
+    xtr, ytr = synthetic_mnist(PROTOCOL["n_train"], seed=0)
+    xte, yte = synthetic_mnist(PROTOCOL["n_test"], seed=1)
+    return (xtr.reshape(-1, 784), ytr.astype(np.int64),
+            xte.reshape(-1, 784), yte.astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# torch side: faithful reference flow
+# ---------------------------------------------------------------------------
+
+def run_torch(xtr, ytr, xte, yte):
+    import torch
+    import torch.nn.functional as F
+    P = PROTOCOL
+    L = P["n_latents"]
+    torch.manual_seed(0)
+
+    def swish(x):
+        return x * torch.sigmoid(x)
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            mk = torch.nn.Linear
+            self.ie1, self.ie2, self.ih = mk(784, 512), mk(512, 512), mk(512, 2 * L)
+            self.id1, self.id2, self.id3, self.id4 = (
+                mk(L, 512), mk(512, 512), mk(512, 512), mk(512, 784))
+            self.te = torch.nn.Embedding(10, 512)
+            self.tf, self.th = mk(512, 512), mk(512, 2 * L)
+            self.td1, self.td2, self.td3, self.td4 = (
+                mk(L, 512), mk(512, 512), mk(512, 512), mk(512, 10))
+
+        def enc_i(self, x):
+            return self.ih(swish(self.ie2(swish(self.ie1(x)))))
+
+        def enc_t(self, t):
+            return self.th(swish(self.tf(swish(self.te(t)))))
+
+        def dec(self, z):
+            i = self.id4(swish(self.id3(swish(self.id2(swish(self.id1(z)))))))
+            t = self.td4(swish(self.td3(swish(self.td2(swish(self.td1(z)))))))
+            return i, t
+
+        def infer(self, image=None, text=None):
+            B = image.shape[0] if image is not None else text.shape[0]
+            mus, lvs = [torch.zeros(B, L)], [torch.zeros(B, L)]
+            if image is not None:
+                p = self.enc_i(image); mus.append(p[:, :L]); lvs.append(p[:, L:])
+            if text is not None:
+                p = self.enc_t(text); mus.append(p[:, :L]); lvs.append(p[:, L:])
+            mu, lv = torch.stack(mus), torch.stack(lvs)
+            t = 1.0 / (lv.exp() + 1e-8)
+            return (mu * t).sum(0) / t.sum(0), torch.log(1.0 / t.sum(0))
+
+        def forward(self, image=None, text=None, train=True):
+            mu, lv = self.infer(image, text)
+            z = mu + torch.randn_like(mu) * (0.5 * lv).exp() if train else mu
+            i, t = self.dec(z)
+            return i, t, mu, lv
+
+    def elbo(i_r, image, t_r, text, mu, lv, li, lt, beta):
+        total = beta * (-0.5 * (1 + lv - mu ** 2 - lv.exp()).sum(1))
+        if i_r is not None:
+            total = total + li * (i_r.clamp(min=0) - i_r * image
+                                  + torch.log1p((-i_r.abs()).exp())).sum(1)
+        if t_r is not None:
+            logp = F.log_softmax(t_r + 1e-6, dim=1)
+            total = total + lt * F.nll_loss(logp, text, reduction="none")
+        return total.mean()
+
+    m = M()
+    opt = torch.optim.Adam(m.parameters(), lr=P["lr"])
+    B = P["batch_size"]
+    n_batches = len(xtr) // B
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for epoch in range(1, P["epochs"] + 1):
+        order = rng.permutation(len(xtr))
+        for bi in range(n_batches):
+            idx = order[bi * B:(bi + 1) * B]
+            image = torch.from_numpy(xtr[idx])
+            text = torch.from_numpy(ytr[idx])
+            beta = min(1.0, (bi + (epoch - 1) * n_batches + 1)
+                       / (P["annealing_epochs"] * n_batches))
+            opt.zero_grad()
+            a = m(image, text)
+            b = m(image)
+            c = m(text=text)
+            loss = (elbo(a[0], image, a[1], text, a[2], a[3],
+                         P["lambda_image"], P["lambda_text"], beta)
+                    + elbo(b[0], image, None, None, b[2], b[3],
+                           P["lambda_image"], P["lambda_text"], beta)
+                    + elbo(None, None, c[1], text, c[2], c[3],
+                           P["lambda_image"], P["lambda_text"], beta))
+            loss.backward()
+            opt.step()
+        print(f"[torch] epoch {epoch} loss {float(loss):.2f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    # eval: default lambdas 1.0 (mnist/train.py:246-248), z = mu
+    m.eval()
+    with torch.no_grad():
+        tot, n = 0.0, 0
+        for lo in range(0, len(xte) - len(xte) % B, B):
+            image = torch.from_numpy(xte[lo:lo + B])
+            text = torch.from_numpy(yte[lo:lo + B])
+            a = m(image, text, train=False)
+            b = m(image, train=False)
+            c = m(text=text, train=False)
+            t = (elbo(a[0], image, a[1], text, a[2], a[3], 1.0, 1.0, 1.0)
+                 + elbo(b[0], image, None, None, b[2], b[3], 1.0, 1.0, 1.0)
+                 + elbo(None, None, c[1], text, c[2], c[3], 1.0, 1.0, 1.0))
+            tot += float(t) * B
+            n += B
+        test_elbo = tot / n
+
+        def iwae(k):
+            torch.manual_seed(1)
+            vals = []
+            for lo in range(0, P["iwae_examples"], P["iwae_batch"]):
+                image = torch.from_numpy(xte[lo:lo + P["iwae_batch"]])
+                text = torch.from_numpy(yte[lo:lo + P["iwae_batch"]])
+                q_mu, q_lv = m.infer(image, text)
+                lws = []
+                for _ in range(k):
+                    z = q_mu + torch.randn_like(q_mu) * (0.5 * q_lv).exp()
+                    i_r, _ = m.dec(z)
+                    lpxz = -(i_r.clamp(min=0) - i_r * image
+                             + torch.log1p((-i_r.abs()).exp())).sum(1)
+
+                    def logn(z, mu, lv):
+                        return (-0.5 * (lv + np.log(2 * np.pi)
+                                        + (z - mu) ** 2 * (-lv).exp())).sum(1)
+                    lws.append(lpxz + logn(z, torch.zeros_like(z),
+                                           torch.zeros_like(z))
+                               - logn(z, q_mu, q_lv))
+                lw = torch.stack(lws)
+                vals.append(torch.logsumexp(lw, 0) - np.log(k))
+            return float(torch.cat(vals).mean())
+
+        return {"test_elbo": test_elbo, "iwae_100": iwae(100),
+                "iwae_500": iwae(500),
+                "train_seconds": round(time.time() - t0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# ours
+# ---------------------------------------------------------------------------
+
+def run_ours(xtr, ytr, xte, yte):
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from mvae_tpu.data.pipeline import ArrayDataset
+    from mvae_tpu.models.mnist import MnistMVAE
+    from mvae_tpu.train.driver import run_training
+    from mvae_tpu.train.loop import make_eval_step
+    from mvae_tpu.core.loglike import iwae_log_marginal
+
+    P = PROTOCOL
+    train_ds = ArrayDataset({"image": xtr, "text": ytr.astype(np.int32)})
+    test_ds = ArrayDataset({"image": xte, "text": yte.astype(np.int32)})
+    args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
+                           epochs=P["epochs"],
+                           annealing_epochs=P["annealing_epochs"],
+                           log_interval=100, seed=0, resume=None)
+    model = MnistMVAE(P["n_latents"])
+    masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+    lambdas = [[P["lambda_image"], P["lambda_text"]]] * 3
+    t0 = time.time()
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "trained_models",
+                           "parity_mnist")
+    params, state = run_training(
+        model, train_ds, test_ds, args, masks, lambdas, out_dir=out_dir,
+        eval_term_lambdas=[[1.0, 1.0]] * 3,
+        meta={"model": "mnist", "n_latents": P["n_latents"]})
+    train_seconds = round(time.time() - t0, 1)
+
+    ev = make_eval_step(model, masks, [[1.0, 1.0]] * 3)
+    B = P["batch_size"]
+    tot, n = 0.0, 0
+    for lo in range(0, len(xte) - len(xte) % B, B):
+        batch = {"image": jnp.asarray(xte[lo:lo + B]),
+                 "text": jnp.asarray(yte[lo:lo + B].astype(np.int32))}
+        loss, _ = ev(params, state, batch)
+        tot += float(loss) * B
+        n += B
+    test_elbo = tot / n
+
+    def iwae(k):
+        vals = []
+        fn = jax.jit(lambda b, r: iwae_log_marginal(
+            model, params, state, b, jnp.ones(2), ("image",), r, k))
+        for i, lo in enumerate(range(0, P["iwae_examples"], P["iwae_batch"])):
+            batch = {"image": jnp.asarray(xte[lo:lo + P["iwae_batch"]]),
+                     "text": jnp.asarray(
+                         yte[lo:lo + P["iwae_batch"]].astype(np.int32))}
+            vals.append(np.asarray(fn(batch, jax.random.key(100 + i))))
+        return float(np.concatenate(vals).mean())
+
+    return {"test_elbo": test_elbo, "iwae_100": iwae(100),
+            "iwae_500": iwae(500), "train_seconds": train_seconds}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--skip-ours", action="store_true")
+    ns = ap.parse_args()
+    data = _data()
+    out_path = os.path.join(os.path.dirname(__file__), "..",
+                            "PARITY_convergence.json")
+    result = {"protocol": PROTOCOL}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            result.update(json.load(f))
+    if not ns.skip_ours:
+        result["ours"] = run_ours(*data)
+        print("[ours]", result["ours"], flush=True)
+    if not ns.skip_torch:
+        result["torch"] = run_torch(*data)
+        print("[torch]", result["torch"], flush=True)
+    if "ours" in result and "torch" in result:
+        result["rel_diff"] = {
+            k: abs(result["ours"][k] - result["torch"][k])
+            / abs(result["torch"][k])
+            for k in ("test_elbo", "iwae_100", "iwae_500")}
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result.get("rel_diff", {}), indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,8 @@
 """Exercise the driver's device-resident chunked-scan path end-to-end.
 
-On the 8-virtual-device CPU mesh an odd batch size (gcd(8, 25) = 1) forces
-mesh=None, which enables the device-data pipeline — the same path real
-single-chip TPU training takes."""
+An odd batch size (gcd(8, 25) = 1) forces mesh=None — the single-chip TPU
+path. A divisible batch size builds the 8-virtual-device mesh AND keeps the
+device-resident pipeline (sharded over "data"): the multi-chip fast path."""
 
 import numpy as np
 
@@ -28,6 +28,25 @@ def test_device_data_training_runs_and_checkpoints(tmp_path, capsys):
     assert "====> Test Loss" in out
     assert (tmp_path / "checkpoint.msgpack").exists()
     # loss decreased between epochs
+    epochs = [float(l.rsplit(None, 1)[-1]) for l in out.splitlines()
+              if l.startswith("====> Epoch")]
+    assert len(epochs) == 2 and epochs[1] < epochs[0]
+
+
+def test_device_data_sharded_over_mesh(tmp_path, capsys):
+    """batch 24 on 8 virtual devices: mesh is built AND the device-resident
+    sharded pipeline drives training (driver run_epoch_device, D=8)."""
+    from experiments.mnist import train as mn_train
+    mn_train.load_mnist = lambda root, train=True, **kw: _tiny(
+        192 if train else 48, 2 if train else 3)
+    mn_train.main(['--epochs', '2', '--batch-size', '24',
+                   '--annealing-epochs', '2', '--n-latents', '8',
+                   '--log-interval', '4',
+                   '--out-dir', str(tmp_path), '--data-dir', str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "data-parallel over 8 devices" in out
+    assert "sharded over 8 chips" in out
+    assert "====> Test Loss" in out
     epochs = [float(l.rsplit(None, 1)[-1]) for l in out.splitlines()
               if l.startswith("====> Epoch")]
     assert len(epochs) == 2 and epochs[1] < epochs[0]
