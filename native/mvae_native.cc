@@ -183,6 +183,6 @@ void gather_rows_f32(const float* src, const int64_t* idx, float* dst,
   }
 }
 
-int mvae_native_abi_version() { return 2; }
+int mvae_native_abi_version() { return 3; }
 
 }  // extern "C"
