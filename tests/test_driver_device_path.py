@@ -52,13 +52,50 @@ def test_device_data_sharded_over_mesh(tmp_path, capsys):
     assert len(epochs) == 2 and epochs[1] < epochs[0]
 
 
+def test_device_data_dynamic_masks_chunked_path():
+    """The celeba19 driver mechanism — per-step (K, T, M) sampled masks
+    flowing through the chunked-scan device-resident path — exercised in
+    the default suite on a compile-cheap model. The full celeba19 CLI run
+    is the gated test below (its 64x64 conv-grad graphs take ~11 min to
+    compile on this 1-core CPU host regardless of config size)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mvae_tpu.models.mnist import MnistMVAE
+    from mvae_tpu.train.loop import make_multi_train_step
+
+    model = MnistMVAE(8)
+    params, state = model.init(jax.random.key(0))
+    tx = optax.adam(1e-3)
+    multi = make_multi_train_step(model, tx, None, None, dynamic_masks=True)
+    imgs, labels = (np.random.default_rng(0).random((1, 40, 784),
+                                                    np.float32),
+                    np.arange(40).reshape(1, 40) % 10)
+    data = {"image": jnp.asarray(imgs),
+            "text": jnp.asarray(labels, jnp.int32)}
+    K, T = 3, 4
+    rng = np.random.default_rng(1)
+    idxs = jnp.asarray(rng.integers(0, 40, (K, 1, 8)), jnp.int32)
+    betas = jnp.linspace(0.3, 1.0, K)
+    masks = jnp.asarray(rng.integers(0, 2, (K, T, 2)).clip(min=0),
+                        jnp.float32).at[:, :, 0].set(1.0)   # nonempty terms
+    lambdas = jnp.ones((K, T, 2), jnp.float32)
+    p, s, o, r, losses = multi(params, state, tx.init(params),
+                               jax.random.key(2), data, idxs, betas,
+                               masks, lambdas)
+    assert losses.shape == (K,)
+    assert np.isfinite(np.asarray(losses)).all()
+
+
 import os
 import pytest
 
 
 @pytest.mark.skipif(os.environ.get("MVAE_SLOW_TESTS") != "1",
-                    reason="~10 min XLA compile on the 1-CPU host; "
-                           "set MVAE_SLOW_TESTS=1 (verified passing)")
+                    reason="~11 min XLA compile on the 1-CPU host "
+                           "(64x64 conv grads; invariant to config size); "
+                           "set MVAE_SLOW_TESTS=1 — verified passing "
+                           "2026-08-16, 660s")
 def test_device_data_celeba19_dynamic_masks(tmp_path, capsys):
     """The chunked path must also handle per-step (K,T,M) sampled masks."""
     from experiments.celeba19 import train as c19_train
