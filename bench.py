@@ -67,15 +67,22 @@ def measure_ours():
         args, losses = window(args, w)
     float(losses[-1])
 
-    # FLOPs of one fused K-step dispatch from XLA's cost analysis
+    # FLOPs per optimizer step from XLA's cost analysis of the SINGLE-step
+    # graph (cost analysis counts a lax.scan body once, so costing the
+    # K-step dispatch under-reports by K)
     flops_per_step = None
     try:
-        idxs0 = jnp.zeros((K, 1, BATCH), jnp.int32)
-        cost = (multi.lower(*args, data, idxs0, betas)
+        from mvae_tpu.train.loop import make_train_step
+        one = make_train_step(model, tx, [[1., 1.], [1., 0.], [0., 1.]],
+                              [[10.0, 1.0]] * 3, device_data=True)
+        idx0 = jnp.zeros((BATCH,), jnp.int32)
+        p0, s0 = model.init(jax.random.key(9))
+        cost = (one.lower(p0, s0, tx.init(p0), jax.random.key(0),
+                          ({k: v[0] for k, v in data.items()}, idx0), 0.5)
                 .compile().cost_analysis())
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_step = float(cost["flops"]) / K
+        flops_per_step = float(cost["flops"])
     except Exception:
         pass
 

@@ -24,7 +24,7 @@ def load():
     global _lib
     if _lib is not None:
         return _lib
-    ABI = 3
+    ABI = 4
     try:
         # make no-ops when the .so is current; this keeps a stale build from
         # an older source version out of the process (dlopen caches by path,
@@ -42,6 +42,7 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p]
+    lib.multimnist_generate.restype = ctypes.c_int64
     for f in (lib.gather_rows_u8, lib.gather_rows_f32):
         f.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                       ctypes.c_int64, ctypes.c_int64]
@@ -66,11 +67,15 @@ def multimnist_generate(digits: np.ndarray, labels: np.ndarray, n_out: int,
     labels = np.ascontiguousarray(labels, np.int32)
     images = np.empty((n_out, 50, 50), np.uint8)
     texts = np.empty((n_out, 4), np.int32)
-    lib.multimnist_generate(
+    n_failed = lib.multimnist_generate(
         digits.ctypes.data, labels.ctypes.data,
         len(digits), n_out, min_digits, max_digits,
         int(resize), int(translate), seed,
         images.ctypes.data, texts.ctypes.data)
+    if n_failed:
+        raise RuntimeError(
+            f"multimnist: {n_failed}/{n_out} canvases found no "
+            "non-overlapping composition (digit pool too dense?)")
     return images, texts
 
 

@@ -91,12 +91,16 @@ void resize_digit(const float* src, float* dst, int hw) {
 extern "C" {
 
 // digits: (n_pool, 28, 28) uint8; labels: (n_pool,) int32
-// out_images: (n_out, 50, 50) uint8; out_texts: (n_out, 4) int32 (FILL-padded)
-void multimnist_generate(const uint8_t* digits, const int32_t* labels,
-                         int64_t n_pool, int64_t n_out, int min_digits,
-                         int max_digits, int do_resize, int do_translate,
-                         uint64_t seed, uint8_t* out_images,
-                         int32_t* out_texts) {
+// out_images: (n_out, 50, 50) uint8; out_texts: (n_out, 4) int32
+// (FILL-padded). Returns the number of canvases that exhausted the retry
+// budget (0 on success; the Python wrapper raises on nonzero — matching
+// the numpy path's RuntimeError instead of silently emitting blanks).
+int64_t multimnist_generate(const uint8_t* digits, const int32_t* labels,
+                            int64_t n_pool, int64_t n_out, int min_digits,
+                            int max_digits, int do_resize, int do_translate,
+                            uint64_t seed, uint8_t* out_images,
+                            int32_t* out_texts) {
+  int64_t n_failed = 0;
   Rng rng(seed);
   float canvas[kCanvas * kCanvas];
   float srcbuf[kSrc * kSrc];
@@ -152,8 +156,9 @@ void multimnist_generate(const uint8_t* digits, const int32_t* labels,
       }
     }
     if (!ok) {
-      // unreachable for the reference's configurations; emit an empty
-      // canvas rather than a clipped lie
+      // unreachable for the reference's real-MNIST pools (sparse ink);
+      // reported to the caller, which raises
+      n_failed++;
       std::memset(canvas, 0, sizeof(canvas));
       k = 0;
     }
@@ -166,6 +171,7 @@ void multimnist_generate(const uint8_t* digits, const int32_t* labels,
       text[j] = (j < k) ? accepted[j] : kFill;
     }
   }
+  return n_failed;
 }
 
 void gather_rows_u8(const uint8_t* src, const int64_t* idx, uint8_t* dst,
@@ -183,6 +189,6 @@ void gather_rows_f32(const float* src, const int64_t* idx, float* dst,
   }
 }
 
-int mvae_native_abi_version() { return 3; }
+int mvae_native_abi_version() { return 4; }
 
 }  // extern "C"

