@@ -89,6 +89,8 @@ def measure_ours():
     # NOTE: fence each window with a host fetch of the final loss —
     # block_until_ready on donated pytrees proved unreliable over this
     # backend (returned before execution finished, inflating steps/sec 20x)
+    args, losses = window(args, 3)    # re-warm after the cost-analysis pass
+    float(losses[-1])
     rates = []
     for w in range(5):                      # >= 5 windows: mean +- sd
         t0 = time.perf_counter()

@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np                                               # noqa: E402
 
 from mvae_tpu.core.subsets import (                              # noqa: E402
-    celeba19_step_terms, celeba19_static_terms)
+    celeba19_step_terms, celeba19_static_terms, celeba19_recon_support)
 from mvae_tpu.data.celeba import load_celeba                     # noqa: E402
 from mvae_tpu.models.celeba19 import Celeba19MVAE, N_ATTRS       # noqa: E402
 from mvae_tpu.train.driver import run_training                   # noqa: E402
@@ -49,7 +49,8 @@ def main(argv=None):
                  out_dir=args.out_dir,
                  meta={"model": "celeba19", "n_latents": args.n_latents},
                  make_masks=make_masks,
-                 eval_term_masks=eval_masks, eval_term_lambdas=eval_lambdas)
+                 eval_term_masks=eval_masks, eval_term_lambdas=eval_lambdas,
+                 recon_support=celeba19_recon_support(args.approx_m, N_ATTRS))
 
 
 if __name__ == "__main__":

@@ -84,8 +84,49 @@ def commit_ema_states(model, state, enc_state, dec_states, term_masks):
     return model.merge_state(enc_new, dec_new)
 
 
+def _decode_grouped(model, params, state, z, dec_keys, train, support):
+    """Decode the T terms grouped by their STATIC recon-weight support,
+    stopping the gradient of decoder groups a term can never train
+    (model.stop_grad_groups). Values, BN statistics, and gradients are
+    identical to the ungrouped decode — terms with zero static support
+    contribute exactly-zero gradients there anyway — but XLA drops the
+    dead backward graphs: on celeba19, 18 of 21 terms skip the image
+    deconv backward (measured 16.8 -> 9.9 ms/step f32 on v5e-1).
+
+    support: numpy (T, M) 0/1, trace-time upper bound of the runtime recon
+    weights (masks * lambdas != 0)."""
+    import numpy as np
+    T = z.shape[0]
+    groups = {}
+    for t in range(T):
+        groups.setdefault(model.stop_grad_groups(tuple(support[t])),
+                          []).append(t)
+    if len(groups) == 1 and not next(iter(groups)):
+        recons, dec_states = jax.vmap(
+            lambda zt, kt: model.decode(params, state, zt, kt, train)
+        )(z, dec_keys)
+        return recons, dec_states
+    order, rec_parts, st_parts = [], [], []
+    for stop, idxs in groups.items():
+        ia = np.asarray(idxs)
+        r, s = jax.vmap(
+            lambda zt, kt: model.decode(params, state, zt, kt, train,
+                                        stop_grads=stop)
+        )(z[ia], dec_keys[ia])
+        order.extend(idxs)
+        rec_parts.append(r)
+        st_parts.append(s)
+    perm = np.argsort(np.asarray(order))      # static regroup to term order
+    recons = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[perm], *rec_parts)
+    dec_states = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[perm], *st_parts)
+    return recons, dec_states
+
+
 def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
-                    rng, beta, *, train: bool, recon_masks=None):
+                    rng, beta, *, train: bool, recon_masks=None,
+                    recon_support=None):
     """Compute sum over T subset-ELBO terms in one traced graph.
 
     model:        MultimodalVAE (static).
@@ -100,6 +141,9 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
                   unimodal posterior reconstructs ALL six modalities
                   (vision/train.py:227-283), so it passes all-ones here.
     term_lambdas: (T, M) per-term per-modality loss weights.
+    recon_support: optional STATIC numpy (T, M) 0/1 upper bound of the
+                  runtime recon weights; enables grouped decoding with dead
+                  backward paths stopped (_decode_grouped). Training only.
     beta:         KL annealing factor (scalar, traced).
 
     Returns (total_loss, aux, new_state) where aux has per-term ELBOs and the
@@ -133,9 +177,13 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
     T = term_masks.shape[0]
     dec_keys = (jax.random.split(rngs[2], T) if rngs[2] is not None
                 else jnp.zeros((T, 2), jnp.uint32))
-    recons, dec_states = jax.vmap(
-        lambda zt, kt: model.decode(params, state, zt, kt, train)
-    )(z, dec_keys)
+    if train and recon_support is not None:
+        recons, dec_states = _decode_grouped(model, params, state, z,
+                                             dec_keys, train, recon_support)
+    else:
+        recons, dec_states = jax.vmap(
+            lambda zt, kt: model.decode(params, state, zt, kt, train)
+        )(z, dec_keys)
     # recons[name]: (T, B, ...); dec_states: pytree stacked over T
 
     # 5. masked, weighted reduction. recon_losses gives (B, M) per term —

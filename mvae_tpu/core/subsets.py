@@ -72,6 +72,22 @@ def celeba19_static_terms(n_attrs: int, lambda_image: float,
     return masks, lambdas
 
 
+def celeba19_recon_support(m: int, n_attrs: int = 18) -> np.ndarray:
+    """STATIC (20+m, 19) upper bound of the per-term recon weights for the
+    engine's dead-backward elimination (core/engine.py:_decode_grouped):
+    the fixed terms' pattern is trace-time knowledge — complete (all),
+    image-only, 18 single-attribute — while the m runtime-sampled subset
+    terms are conservatively all-ones."""
+    n = 1 + n_attrs
+    sup = np.zeros((2 + n_attrs + m, n), np.float32)
+    sup[0] = 1.0
+    sup[1, 0] = 1.0
+    for i in range(n_attrs):
+        sup[2 + i, 1 + i] = 1.0
+    sup[2 + n_attrs:] = 1.0
+    return sup
+
+
 def celeba19_step_terms(rng, m: int, n_attrs: int, lambda_image: float,
                         lambda_attrs: float):
     """Full per-step (20+m, 19+... ) masks/lambdas: static terms + m sampled

@@ -9,9 +9,19 @@ A model instance holds ONLY static configuration (sizes), so it is safe to
 close over inside jit.
 """
 
+import jax
 import jax.numpy as jnp
 
 from mvae_tpu.core.poe import masked_product_of_experts
+
+
+def stop_grads_apply(recons: dict, stop_grads) -> dict:
+    """Stop the backward of decoder outputs the caller will zero-weight
+    (see MultimodalVAE.decode's stop_grads contract)."""
+    if not stop_grads:
+        return recons
+    return {k: (jax.lax.stop_gradient(v) if k in stop_grads else v)
+            for k, v in recons.items()}
 
 
 class MultimodalVAE:
@@ -21,8 +31,12 @@ class MultimodalVAE:
     init(key) -> (params, state)
     encode(params, state, inputs, rng, train) -> (mu, logvar, new_state)
         inputs: dict name -> (B, ...); returns stacked (M, B, D) posteriors.
-    decode(params, state, z, rng, train) -> (recons, new_state)
-        z: (B, D); recons: dict name -> (B, ...) logits.
+    decode(params, state, z, rng, train, stop_grads=frozenset())
+        -> (recons, new_state)
+        z: (B, D); recons: dict name -> (B, ...) logits. stop_grads: static
+        set of decoder-group names whose outputs the caller will multiply
+        by zero — wrap them in lax.stop_gradient so XLA skips their
+        backward (values and BN statistics are unchanged).
     recon_loss(name, logits, target) -> (B,) per-sample loss summed over
         event dims (the reference's `torch.sum(..., dim=1)` reductions).
 
@@ -38,6 +52,16 @@ class MultimodalVAE:
 
     def modality_index(self, name: str) -> int:
         return self.modalities.index(name)
+
+    def stop_grad_groups(self, support_row) -> frozenset:
+        """Decoder groups needing NO gradient for a term whose static
+        recon-weight support is `support_row` ((M,) 0/1, trace-time). The
+        engine groups terms by this and decodes each group with the dead
+        backward paths stopped (core/engine.py). Default: one decoder group
+        per expert column, named like the modality. Models whose experts
+        share a decoder stack (celeba19's 18 attr columns) override."""
+        return frozenset(n for n, s in zip(self.modalities, support_row)
+                         if not s)
 
     def merge_state(self, enc_sub, dec_sub):
         return {"enc": enc_sub, "dec": dec_sub}

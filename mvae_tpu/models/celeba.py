@@ -16,7 +16,7 @@ loop == a sum over the attribute axis).
 import jax
 import jax.numpy as jnp
 
-from mvae_tpu.models.base import MultimodalVAE
+from mvae_tpu.models.base import MultimodalVAE, stop_grads_apply
 from mvae_tpu.nn.dcgan import (
     conv_stack_init, conv_stack_apply, deconv_stack_init, deconv_stack_apply,
     head_init, head_apply)
@@ -106,7 +106,8 @@ class CelebaMVAE(MultimodalVAE):
         logvar = jnp.stack([img_p[:, L:], a_p[:, L:]])
         return mu, logvar, {"image": img_st, "attrs": attr_st}
 
-    def decode(self, params, state, z, rng, train):
+    def decode(self, params, state, z, rng, train,
+               stop_grads=frozenset()):
         h = swish(linear(params["image_dec"]["up"], z))
         h = h.reshape(-1, 5, 5, 256)
         img, img_st = deconv_stack_apply(params["image_dec"]["deconv"],
@@ -115,7 +116,8 @@ class CelebaMVAE(MultimodalVAE):
                                          dtype=self.compute_dtype)
         attrs, attr_st = _mlp_bn_apply(params["attrs_dec"],
                                        state["dec"]["attrs"], z, train=train)
-        return ({"image": img, "attrs": attrs},
+        return (stop_grads_apply({"image": img, "attrs": attrs},
+                                 stop_grads),
                 {"image": img_st, "attrs": attr_st})
 
     def recon_loss(self, name, logits, target):

@@ -112,13 +112,18 @@ class Celeba19MVAE(MultimodalVAE):
 
     # -- decoders ----------------------------------------------------------
 
-    def decode(self, params, state, z, rng, train):
+    def decode(self, params, state, z, rng, train,
+               stop_grads=frozenset()):
         cd = self.compute_dtype
         h = swish(linear(params["image_dec"]["up"], z))
         h = h.reshape(-1, 5, 5, 256)
         img, deconv_st = deconv_stack_apply(params["image_dec"]["deconv"],
                                             state["dec"]["image"], DEC_SPECS,
                                             h, train=train, dtype=cd)
+        if "image" in stop_grads:
+            # this term's image-recon weight is statically zero: the decode
+            # is only needed for BN statistics — kill its backward
+            img = jax.lax.stop_gradient(img)
         pd = params["attr_dec_experts"]
         x = jnp.broadcast_to(z[:, None, :], (z.shape[0], N_ATTRS, z.shape[1]))
         if cd is not None:
@@ -129,8 +134,21 @@ class Celeba19MVAE(MultimodalVAE):
         hw = pd["head"]["w"].astype(cd) if cd is not None else pd["head"]["w"]
         attrs = (jnp.einsum("bih,iho->bio", x, hw)
                  + pd["head"]["b"][None])[..., 0]               # (B, 18)
-        return ({"image": img, "attrs": attrs.astype(jnp.float32)},
-                {"image": deconv_st})
+        attrs = attrs.astype(jnp.float32)
+        if "attrs" in stop_grads:
+            attrs = jax.lax.stop_gradient(attrs)
+        return ({"image": img, "attrs": attrs}, {"image": deconv_st})
+
+    def stop_grad_groups(self, support_row) -> frozenset:
+        """Expert col 0 = the image decoder; cols 1..18 share the stacked
+        attr-expert decoder — its gradient is needed if ANY attr column has
+        recon support."""
+        stop = set()
+        if not support_row[0]:
+            stop.add("image")
+        if not any(support_row[1:]):
+            stop.add("attrs")
+        return frozenset(stop)
 
     # -- losses -------------------------------------------------------------
 

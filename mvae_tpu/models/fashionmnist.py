@@ -13,7 +13,7 @@ Losses identical in form to mnist (fashionmnist/train.py:20-94).
 import jax
 import jax.numpy as jnp
 
-from mvae_tpu.models.base import MultimodalVAE
+from mvae_tpu.models.base import MultimodalVAE, stop_grads_apply
 from mvae_tpu.nn.dcgan import (
     conv_stack_init, conv_stack_apply, deconv_stack_init, deconv_stack_apply)
 from mvae_tpu.nn.initializers import linear_init, embedding_init
@@ -74,14 +74,16 @@ class FashionMnistMVAE(MultimodalVAE):
         logvar = jnp.stack([img_p[:, L:], txt_p[:, L:]])
         return mu, logvar, state["enc"]
 
-    def decode(self, params, state, z, rng, train):
+    def decode(self, params, state, z, rng, train,
+               stop_grads=frozenset()):
         h = mlp_apply(params["image_dec"]["up"], z, final_activation=True)
         h = h.reshape(-1, 7, 7, 128)
         img, _ = deconv_stack_apply(params["image_dec"]["deconv"], [{}] * 2,
                                     DEC_SPECS, h, train=train,
                                     dtype=self.compute_dtype)
         txt = mlp_apply(params["text_dec"], z)
-        return {"image": img, "text": txt}, state["dec"]
+        return stop_grads_apply({"image": img, "text": txt},
+                                stop_grads), state["dec"]
 
     def recon_loss(self, name, logits, target):
         if name == "image":

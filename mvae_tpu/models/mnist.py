@@ -14,7 +14,7 @@ Losses per /root/reference/mnist/train.py:20-94 (pixel BCE summed over 784;
 import jax
 import jax.numpy as jnp
 
-from mvae_tpu.models.base import MultimodalVAE
+from mvae_tpu.models.base import MultimodalVAE, stop_grads_apply
 from mvae_tpu.nn.initializers import linear_init, embedding_init
 from mvae_tpu.nn.layers import linear, swish, mlp_init, mlp_apply
 from mvae_tpu.core.losses import (
@@ -66,11 +66,13 @@ class MnistMVAE(MultimodalVAE):
         logvar = jnp.stack([img_p[:, L:], txt_p[:, L:]])
         return mu, logvar, state["enc"]
 
-    def decode(self, params, state, z, rng, train):
+    def decode(self, params, state, z, rng, train,
+               stop_grads=frozenset()):
         z = z.astype(self.compute_dtype)
         img = mlp_apply(params["image_dec"], z).astype(jnp.float32)
         txt = mlp_apply(params["text_dec"], z).astype(jnp.float32)
-        return {"image": img, "text": txt}, state["dec"]
+        return stop_grads_apply({"image": img, "text": txt},
+                                stop_grads), state["dec"]
 
     def recon_loss(self, name, logits, target):
         if name == "image":

@@ -20,7 +20,7 @@ per-position CE summed over the 4 digit positions.
 import jax
 import jax.numpy as jnp
 
-from mvae_tpu.models.base import MultimodalVAE
+from mvae_tpu.models.base import MultimodalVAE, stop_grads_apply
 from mvae_tpu.data.text import MAX_LENGTH, N_CHARACTERS, SOS
 from mvae_tpu.nn.dcgan import (
     conv_stack_init, conv_stack_apply, deconv_stack_init, deconv_stack_apply,
@@ -96,7 +96,8 @@ class MultiMnistMVAE(MultimodalVAE):
         logvar = jnp.stack([img_p[:, L:], txt_p[:, L:]])
         return mu, logvar, {"image": conv_st}
 
-    def decode(self, params, state, z, rng, train):
+    def decode(self, params, state, z, rng, train,
+               stop_grads=frozenset()):
         h = swish(linear(params["image_dec"]["up"], z))
         h = h.reshape(-1, 2, 2, 256)
         img, deconv_st = deconv_stack_apply(params["image_dec"]["deconv"],
@@ -104,7 +105,8 @@ class MultiMnistMVAE(MultimodalVAE):
                                             h, train=train,
                                             dtype=self.compute_dtype)
         txt = self._decode_text(params["text_dec"], z, rng, train)
-        return {"image": img, "text": txt}, {"image": deconv_st}
+        return stop_grads_apply({"image": img, "text": txt},
+                                stop_grads), {"image": deconv_st}
 
     def _decode_text(self, td, z, rng, train):
         """4-step argmax-feedback GRU decode as lax.scan."""

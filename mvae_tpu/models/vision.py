@@ -15,7 +15,7 @@ the evident intent.)
 import jax
 import jax.numpy as jnp
 
-from mvae_tpu.models.base import MultimodalVAE
+from mvae_tpu.models.base import MultimodalVAE, stop_grads_apply
 from mvae_tpu.nn.dcgan import (
     conv_stack_init, conv_stack_apply, deconv_stack_init, deconv_stack_apply,
     head_init, head_apply)
@@ -83,7 +83,8 @@ class VisionMVAE(MultimodalVAE):
             new_st[m] = st
         return jnp.stack(mus), jnp.stack(lvs), new_st
 
-    def decode(self, params, state, z, rng, train):
+    def decode(self, params, state, z, rng, train,
+               stop_grads=frozenset()):
         recons, new_st = {}, {}
         h0 = z
         for m in MODALITIES:
@@ -96,7 +97,7 @@ class VisionMVAE(MultimodalVAE):
                                          dtype=self.compute_dtype)
             recons[m] = img
             new_st[m] = st
-        return recons, new_st
+        return stop_grads_apply(recons, stop_grads), new_st
 
     def recon_loss(self, name, logits, target):
         lo = logits.reshape(logits.shape[0], -1)

@@ -21,9 +21,18 @@ def decode_batch(batch):
             for k, v in batch.items()}
 
 
+def _static_support(term_masks, term_lambdas, recon_masks):
+    """Trace-time (T, M) 0/1 support of the recon weights; lets the engine
+    stop dead decoder backward paths (engine._decode_grouped)."""
+    import numpy as np
+    base = term_masks if recon_masks is None else recon_masks
+    w = np.asarray(base, np.float64) * np.asarray(term_lambdas, np.float64)
+    return (w != 0).astype(np.float32)
+
+
 def make_train_step(model, tx, term_masks, term_lambdas, *,
                     dynamic_masks: bool = False, device_data: bool = False,
-                    recon_masks=None):
+                    recon_masks=None, recon_support=None):
     """Build the jitted training step.
 
     term_masks/term_lambdas: (T, M) arrays. With dynamic_masks=True the step
@@ -46,6 +55,9 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
     static_lambdas = None if dynamic_masks else jnp.asarray(term_lambdas, jnp.float32)
     rmasks = None if recon_masks is None else jnp.asarray(recon_masks,
                                                           jnp.float32)
+    if recon_support is None and not dynamic_masks:
+        recon_support = _static_support(term_masks, term_lambdas,
+                                        recon_masks)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, rng, batch, beta,
@@ -61,7 +73,8 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
         def loss_fn(p):
             total, aux, new_state = multi_term_elbo(
                 model, p, state, batch_, masks, lambdas, sub, beta,
-                train=True, recon_masks=rmasks)
+                train=True, recon_masks=rmasks,
+                recon_support=recon_support)
             return total, (aux, new_state)
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
@@ -92,7 +105,8 @@ def gather_local(data, idx):
 
 
 def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
-                          dynamic_masks: bool = False, recon_masks=None):
+                          dynamic_masks: bool = False, recon_masks=None,
+                          recon_support=None):
     """K training steps in ONE dispatch via lax.scan over the batch-index
     windows — the device-resident pipeline's outer loop.
 
@@ -117,6 +131,9 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
                                                             jnp.float32)
     rmasks = None if recon_masks is None else jnp.asarray(recon_masks,
                                                           jnp.float32)
+    if recon_support is None and not dynamic_masks:
+        recon_support = _static_support(term_masks, term_lambdas,
+                                        recon_masks)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def multi_step(params, state, opt_state, rng, data, idxs, betas,
@@ -134,7 +151,7 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
             def loss_fn(pp):
                 total, aux, new_state = multi_term_elbo(
                     model, pp, s, batch, m, lam, sub, beta, train=True,
-                    recon_masks=rmasks)
+                    recon_masks=rmasks, recon_support=recon_support)
                 return total, new_state
 
             (loss, new_state), grads = jax.value_and_grad(

@@ -27,8 +27,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np                                            # noqa: E402
 
-PROTOCOL = dict(n_latents=64, batch_size=100, lr=1e-3, epochs=20,
-                annealing_epochs=10, lambda_image=1.0, lambda_text=10.0,
+PROTOCOL = dict(n_latents=64, batch_size=100, lr=1e-3, epochs=40,
+                annealing_epochs=20, lambda_image=1.0, lambda_text=10.0,
                 n_train=20000, n_test=2000, iwae_examples=1000,
                 iwae_batch=100)
 

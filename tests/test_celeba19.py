@@ -93,6 +93,44 @@ def test_term_count_invariant():
     assert static_l[0, 0] == 2.0 and static_l[0, 1] == 5.0
 
 
+def test_recon_support_grouped_decode_matches_ungrouped():
+    """Dead-backward elimination (engine._decode_grouped) must not change
+    loss values, per-term ELBOs, committed BN states, or gradients — terms
+    with zero static support contribute exactly-zero gradients there."""
+    from mvae_tpu.core.subsets import celeba19_recon_support
+
+    model = Celeba19MVAE(6)
+    params, state = model.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    masks, lambdas = celeba19_step_terms(rng, 1, N_ATTRS, 1.0, 10.0)
+    masks, lambdas = jnp.asarray(masks), jnp.asarray(lambdas)
+    support = celeba19_recon_support(1, N_ATTRS)
+    batch = _batch()
+
+    def loss(p, sup):
+        total, aux, st = multi_term_elbo(
+            model, p, state, batch, masks, lambdas, jax.random.key(7),
+            0.5, train=True, recon_support=sup)
+        return total, (aux["per_term"], st)
+
+    (l0, (pt0, st0)), g0 = jax.value_and_grad(
+        loss, has_aux=True)(params, None)
+    (l1, (pt1, st1)), g1 = jax.value_and_grad(
+        loss, has_aux=True)(params, support)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pt0), np.asarray(pt1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st0),
+                    jax.tree_util.tree_leaves(st1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+    # grads accumulate across terms in a different order after grouping:
+    # pure f32 reduction noise
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=1e-4)
+
+
 def test_celeba19_full_step_21_terms():
     model = Celeba19MVAE(8)
     params, state = model.init(jax.random.key(0))
