@@ -11,6 +11,9 @@ shape-stable endpoints (compile once at startup, then sub-ms device time):
     recs = sampler.reconstruct({"image": batch})           # cross-modal recon
 
 All endpoints are deterministic functions of (checkpoint, inputs, seed).
+Request sizes are BUCKETED to the next power of two (pad-then-slice), so a
+production traffic mix compiles one graph per bucket instead of one per
+observed batch size; latency is measured by scripts/serve_latency.py.
 """
 
 import functools
@@ -19,6 +22,21 @@ import jax
 import jax.numpy as jnp
 
 from mvae_tpu.train.driver import load_model_checkpoint
+
+
+def _bucket(n: int) -> int:
+    """Next power of two >= n (min 1): the compile-once batch bucket."""
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _pad_rows(x, m):
+    """Pad the leading axis to m rows by repeating row 0 (values are
+    sliced off after the compiled call)."""
+    n = x.shape[0]
+    if n == m:
+        return x
+    pad = jnp.broadcast_to(x[:1], (m - n,) + x.shape[1:])
+    return jnp.concatenate([x, pad], axis=0)
 
 
 class Sampler:
@@ -46,6 +64,12 @@ class Sampler:
         def _embed(names, *values):
             return model.infer(params, state, dict(zip(names, values)))
 
+        @functools.partial(jax.jit, static_argnames=("names",))
+        def _reconstruct(names, *values):
+            mu, _ = model.infer(params, state, dict(zip(names, values)))
+            recons, _ = model.decode(params, state, mu, None, False)
+            return _activate(recons)
+
         def _activate(recons):
             out = {}
             for k, v in recons.items():
@@ -56,6 +80,7 @@ class Sampler:
         self._sample_prior = _sample_prior
         self._sample_cond = _sample_cond
         self._embed = _embed
+        self._reconstruct = _reconstruct
         self._activate = _activate
 
     @classmethod
@@ -65,24 +90,35 @@ class Sampler:
 
     def sample(self, n: int = 1, condition: dict = None, seed: int = 0):
         """Generate n samples of every modality; optionally conditioned on a
-        dict of modality arrays (leading batch dim 1)."""
+        dict of modality arrays (leading batch dim 1). n is bucketed to the
+        next power of two: one compiled graph serves all sizes in [m/2+1, m].
+        """
         key = jax.random.key(seed)
+        m = _bucket(n)
         if not condition:
-            return self._sample_prior(key, n)
-        names = tuple(sorted(condition))
-        values = tuple(jnp.asarray(condition[k]) for k in names)
-        return self._sample_cond(key, n, names, *values)
+            out = self._sample_prior(key, m)
+        else:
+            names = tuple(sorted(condition))
+            values = tuple(jnp.asarray(condition[k]) for k in names)
+            out = self._sample_cond(key, m, names, *values)
+        return {k: v[:n] for k, v in out.items()}
 
     def embed(self, inputs: dict):
         """Fused posterior (mu, logvar) for the provided modalities
-        (compiled once per modality-set, like the other endpoints)."""
+        (compiled once per (modality-set, batch bucket))."""
         names = tuple(sorted(inputs))
-        return self._embed(names, *(jnp.asarray(inputs[k]) for k in names))
+        vals = [jnp.asarray(inputs[k]) for k in names]
+        n = vals[0].shape[0]
+        m = _bucket(n)
+        mu, logvar = self._embed(names, *(_pad_rows(v, m) for v in vals))
+        return mu[:n], logvar[:n]
 
     def reconstruct(self, inputs: dict):
         """Cross-modal reconstruction: infer from `inputs`, decode ALL
         modalities from the posterior mean."""
-        mu, _ = self.embed(inputs)
-        recons, _ = self.model.decode(self.params, self.state, mu, None,
-                                      False)
-        return self._activate(recons)
+        names = tuple(sorted(inputs))
+        vals = [jnp.asarray(inputs[k]) for k in names]
+        n = vals[0].shape[0]
+        m = _bucket(n)
+        out = self._reconstruct(names, *(_pad_rows(v, m) for v in vals))
+        return {k: v[:n] for k, v in out.items()}

@@ -239,31 +239,275 @@ def run_ours(xtr, ytr, xte, yte):
             "iwae_500": iwae(500), "train_seconds": train_seconds}
 
 
+# ---------------------------------------------------------------------------
+# celeba family (conv + BN; reference flow celeba/train.py:180-250)
+# ---------------------------------------------------------------------------
+
+CELEBA_PROTOCOL = dict(n_latents=100, batch_size=100, lr=1e-4, epochs=12,
+                       annealing_epochs=4, lambda_image=1.0,
+                       lambda_attrs=10.0, n_train=2000, n_test=500,
+                       iwae_examples=200, iwae_batch=100)
+
+
+def _celeba_data():
+    from mvae_tpu.data.celeba import synthetic_celeba
+    tr = synthetic_celeba(CELEBA_PROTOCOL["n_train"], seed=0)
+    te = synthetic_celeba(CELEBA_PROTOCOL["n_test"], seed=1)
+    return (tr.arrays["image"], tr.arrays["attrs"],
+            te.arrays["image"], te.arrays["attrs"])
+
+
+def run_torch_celeba(xtr, atr, xte, ate):
+    import torch
+    P = CELEBA_PROTOCOL
+    L, A = P["n_latents"], 18
+    torch.manual_seed(0)
+
+    def swish(x):
+        return x * torch.sigmoid(x)
+
+    class M(torch.nn.Module):
+        """Reference CelebA MVAE (celeba/model.py:66-190)."""
+
+        def __init__(self):
+            super().__init__()
+            self.enc = torch.nn.Sequential(
+                torch.nn.Conv2d(3, 32, 4, 2, 1, bias=False),
+                torch.nn.SiLU(),   # NOTE: swish == SiLU
+                torch.nn.Conv2d(32, 64, 4, 2, 1, bias=False),
+                torch.nn.BatchNorm2d(64), torch.nn.SiLU(),
+                torch.nn.Conv2d(64, 128, 4, 2, 1, bias=False),
+                torch.nn.BatchNorm2d(128), torch.nn.SiLU(),
+                torch.nn.Conv2d(128, 256, 4, 1, 0, bias=False),
+                torch.nn.BatchNorm2d(256), torch.nn.SiLU())
+            self.enc_head = torch.nn.Sequential(
+                torch.nn.Linear(256 * 5 * 5, 512), torch.nn.SiLU(),
+                torch.nn.Dropout(0.1), torch.nn.Linear(512, 2 * L))
+            self.dec_up = torch.nn.Sequential(
+                torch.nn.Linear(L, 256 * 5 * 5), torch.nn.SiLU())
+            self.dec = torch.nn.Sequential(
+                torch.nn.ConvTranspose2d(256, 128, 4, 1, 0, bias=False),
+                torch.nn.BatchNorm2d(128), torch.nn.SiLU(),
+                torch.nn.ConvTranspose2d(128, 64, 4, 2, 1, bias=False),
+                torch.nn.BatchNorm2d(64), torch.nn.SiLU(),
+                torch.nn.ConvTranspose2d(64, 32, 4, 2, 1, bias=False),
+                torch.nn.BatchNorm2d(32), torch.nn.SiLU(),
+                torch.nn.ConvTranspose2d(32, 3, 4, 2, 1, bias=False))
+            self.attr_enc = torch.nn.Sequential(
+                torch.nn.Linear(A, 512), torch.nn.BatchNorm1d(512),
+                torch.nn.SiLU(),
+                torch.nn.Linear(512, 512), torch.nn.BatchNorm1d(512),
+                torch.nn.SiLU(), torch.nn.Linear(512, 2 * L))
+            self.attr_dec = torch.nn.Sequential(
+                torch.nn.Linear(L, 512), torch.nn.BatchNorm1d(512),
+                torch.nn.SiLU(),
+                torch.nn.Linear(512, 512), torch.nn.BatchNorm1d(512),
+                torch.nn.SiLU(),
+                torch.nn.Linear(512, 512), torch.nn.BatchNorm1d(512),
+                torch.nn.SiLU(), torch.nn.Linear(512, A))
+
+        def infer(self, image=None, attrs=None):
+            B = image.shape[0] if image is not None else attrs.shape[0]
+            mus, lvs = [torch.zeros(B, L)], [torch.zeros(B, L)]
+            if image is not None:
+                h = self.enc_head(self.enc(image).flatten(1))
+                mus.append(h[:, :L]); lvs.append(h[:, L:])
+            if attrs is not None:
+                h = self.attr_enc(attrs)
+                mus.append(h[:, :L]); lvs.append(h[:, L:])
+            mu, lv = torch.stack(mus), torch.stack(lvs)
+            t = 1.0 / (lv.exp() + 1e-8)
+            return (mu * t).sum(0) / t.sum(0), torch.log(1.0 / t.sum(0))
+
+        def forward(self, image=None, attrs=None, train=True):
+            mu, lv = self.infer(image, attrs)
+            z = mu + torch.randn_like(mu) * (0.5 * lv).exp() if train else mu
+            img = self.dec(self.dec_up(z).view(-1, 256, 5, 5))
+            att = self.attr_dec(z)
+            return img, att, mu, lv
+
+    def bce(x, t):
+        return x.clamp(min=0) - x * t + torch.log1p((-x.abs()).exp())
+
+    def elbo(i_r, image, a_r, attrs, mu, lv, li, la, beta):
+        total = beta * (-0.5 * (1 + lv - mu ** 2 - lv.exp()).sum(1))
+        if i_r is not None:
+            total = total + li * bce(i_r.flatten(1), image.flatten(1)).sum(1)
+        if a_r is not None:
+            total = total + la * bce(a_r, attrs).sum(1)
+        return total.mean()
+
+    m = M()
+    opt = torch.optim.Adam(m.parameters(), lr=P["lr"])
+    B = P["batch_size"]
+    n_batches = len(xtr) // B
+    rng = np.random.default_rng(0)
+    xtr_t = np.transpose(xtr, (0, 3, 1, 2)).copy()
+    xte_t = np.transpose(xte, (0, 3, 1, 2)).copy()
+    t0 = time.time()
+    for epoch in range(1, P["epochs"] + 1):
+        order = rng.permutation(len(xtr))
+        m.train()
+        for bi in range(n_batches):
+            idx = order[bi * B:(bi + 1) * B]
+            image = torch.from_numpy(xtr_t[idx])
+            attrs = torch.from_numpy(atr[idx])
+            beta = min(1.0, (bi + (epoch - 1) * n_batches + 1)
+                       / (P["annealing_epochs"] * n_batches))
+            opt.zero_grad()
+            a = m(image, attrs)
+            b = m(image)
+            c = m(attrs=attrs)
+            loss = (elbo(a[0], image, a[1], attrs, a[2], a[3],
+                         P["lambda_image"], P["lambda_attrs"], beta)
+                    + elbo(b[0], image, None, None, b[2], b[3],
+                           P["lambda_image"], P["lambda_attrs"], beta)
+                    + elbo(None, None, c[1], attrs, c[2], c[3],
+                           P["lambda_image"], P["lambda_attrs"], beta))
+            loss.backward()
+            opt.step()
+        print(f"[torch celeba] epoch {epoch} loss {float(loss):.1f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    m.eval()
+    with torch.no_grad():
+        # celeba test() keeps the ARGS lambdas (celeba/train.py:239-244)
+        tot, n = 0.0, 0
+        for lo in range(0, len(xte) - len(xte) % B, B):
+            image = torch.from_numpy(xte_t[lo:lo + B])
+            attrs = torch.from_numpy(ate[lo:lo + B])
+            a = m(image, attrs, train=False)
+            b = m(image, train=False)
+            c = m(attrs=attrs, train=False)
+            li, la = P["lambda_image"], P["lambda_attrs"]
+            t = (elbo(a[0], image, a[1], attrs, a[2], a[3], li, la, 1.0)
+                 + elbo(b[0], image, None, None, b[2], b[3], li, la, 1.0)
+                 + elbo(None, None, c[1], attrs, c[2], c[3], li, la, 1.0))
+            tot += float(t) * B
+            n += B
+        test_elbo = tot / n
+
+        def iwae(k):
+            torch.manual_seed(1)
+            vals = []
+            for lo in range(0, P["iwae_examples"], P["iwae_batch"]):
+                image = torch.from_numpy(xte_t[lo:lo + P["iwae_batch"]])
+                attrs = torch.from_numpy(ate[lo:lo + P["iwae_batch"]])
+                q_mu, q_lv = m.infer(image, attrs)
+                lws = []
+                for _ in range(k):
+                    z = q_mu + torch.randn_like(q_mu) * (0.5 * q_lv).exp()
+                    i_r = m.dec(m.dec_up(z).view(-1, 256, 5, 5))
+                    lpxz = -bce(i_r.flatten(1), image.flatten(1)).sum(1)
+
+                    def logn(z, mu, lv):
+                        return (-0.5 * (lv + np.log(2 * np.pi)
+                                        + (z - mu) ** 2 * (-lv).exp())).sum(1)
+                    lws.append(lpxz + logn(z, torch.zeros_like(z),
+                                           torch.zeros_like(z))
+                               - logn(z, q_mu, q_lv))
+                lw = torch.stack(lws)
+                vals.append(torch.logsumexp(lw, 0) - np.log(k))
+            return float(torch.cat(vals).mean())
+
+        return {"test_elbo": test_elbo, "iwae_100": iwae(100),
+                "iwae_500": iwae(500),
+                "train_seconds": round(time.time() - t0, 1)}
+
+
+def run_ours_celeba(xtr, atr, xte, ate):
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from mvae_tpu.data.pipeline import ArrayDataset
+    from mvae_tpu.models.celeba import CelebaMVAE
+    from mvae_tpu.train.driver import run_training
+    from mvae_tpu.train.loop import make_eval_step
+    from mvae_tpu.core.loglike import iwae_log_marginal
+
+    P = CELEBA_PROTOCOL
+    train_ds = ArrayDataset({"image": xtr, "attrs": atr})
+    test_ds = ArrayDataset({"image": xte, "attrs": ate})
+    args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
+                           epochs=P["epochs"],
+                           annealing_epochs=P["annealing_epochs"],
+                           log_interval=100, seed=0, resume=None)
+    model = CelebaMVAE(P["n_latents"])
+    masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+    lambdas = [[P["lambda_image"], P["lambda_attrs"]]] * 3
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "trained_models",
+                           "parity_celeba")
+    t0 = time.time()
+    params, state = run_training(
+        model, train_ds, test_ds, args, masks, lambdas, out_dir=out_dir,
+        meta={"model": "celeba", "n_latents": P["n_latents"]})
+    train_seconds = round(time.time() - t0, 1)
+
+    ev = make_eval_step(model, masks, lambdas)     # eval keeps args lambdas
+    B = P["batch_size"]
+    tot, n = 0.0, 0
+    for lo in range(0, len(xte) - len(xte) % B, B):
+        batch = {"image": jnp.asarray(xte[lo:lo + B]),
+                 "attrs": jnp.asarray(ate[lo:lo + B])}
+        loss, _ = ev(params, state, batch)
+        tot += float(loss) * B
+        n += B
+    test_elbo = tot / n
+
+    def iwae(k):
+        vals = []
+        fn = jax.jit(lambda b, r: iwae_log_marginal(
+            model, params, state, b, jnp.ones(2), ("image",), r, k))
+        for i, lo in enumerate(range(0, P["iwae_examples"], P["iwae_batch"])):
+            batch = {"image": jnp.asarray(xte[lo:lo + P["iwae_batch"]]),
+                     "attrs": jnp.asarray(ate[lo:lo + P["iwae_batch"]])}
+            vals.append(np.asarray(fn(batch, jax.random.key(200 + i))))
+        return float(np.concatenate(vals).mean())
+
+    return {"test_elbo": test_elbo, "iwae_100": iwae(100),
+            "iwae_500": iwae(500), "train_seconds": train_seconds}
+
+
+FAMILIES = {
+    "mnist": (PROTOCOL, _data, run_ours, run_torch),
+    "celeba": (CELEBA_PROTOCOL, _celeba_data, run_ours_celeba,
+               run_torch_celeba),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=sorted(FAMILIES), default="mnist")
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
     ns = ap.parse_args()
-    data = _data()
+    protocol, data_fn, ours_fn, torch_fn = FAMILIES[ns.family]
+    data = data_fn()
     out_path = os.path.join(os.path.dirname(__file__), "..",
                             "PARITY_convergence.json")
-    result = {"protocol": PROTOCOL}
+    all_results = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
-            result.update(json.load(f))
+            all_results = json.load(f)
+    # migrate the round-2 flat (mnist-only) layout
+    if "ours" in all_results:
+        all_results = {"mnist": all_results}
+    result = all_results.get(ns.family, {})
+    result["protocol"] = protocol
     if not ns.skip_ours:
-        result["ours"] = run_ours(*data)
+        result["ours"] = ours_fn(*data)
         print("[ours]", result["ours"], flush=True)
     if not ns.skip_torch:
-        result["torch"] = run_torch(*data)
+        result["torch"] = torch_fn(*data)
         print("[torch]", result["torch"], flush=True)
     if "ours" in result and "torch" in result:
         result["rel_diff"] = {
             k: abs(result["ours"][k] - result["torch"][k])
             / abs(result["torch"][k])
             for k in ("test_elbo", "iwae_100", "iwae_500")}
+    all_results[ns.family] = result
     with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(all_results, f, indent=1)
     print(json.dumps(result.get("rel_diff", {}), indent=1))
 
 

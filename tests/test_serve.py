@@ -48,6 +48,25 @@ def test_conditional_sampling_uses_condition(sampler):
     assert not np.allclose(np.asarray(a["image"]), np.asarray(b["image"]))
 
 
+def test_batch_bucketing_compiles_once_per_bucket(sampler):
+    """Request sizes bucket to the next power of two: sizes 5..8 share one
+    compiled graph; padded rows never leak into the sliced outputs."""
+    import jax.numpy as jnp
+    from mvae_tpu.serve import _bucket
+    assert [_bucket(n) for n in (1, 2, 3, 5, 8, 9)] == [1, 2, 4, 8, 8, 16]
+    full = sampler.sample(n=8, seed=11)
+    part = sampler.sample(n=5, seed=11)
+    assert part["image"].shape == (5, 784)
+    np.testing.assert_array_equal(np.asarray(part["image"]),
+                                  np.asarray(full["image"][:5]))
+    imgs, _ = synthetic_mnist(8, seed=4)
+    mu8, lv8 = sampler.embed({"image": jnp.asarray(imgs.reshape(8, 784))})
+    mu5, lv5 = sampler.embed({"image": jnp.asarray(imgs.reshape(8, 784)[:5])})
+    assert mu5.shape == (5, 8)
+    np.testing.assert_allclose(np.asarray(mu5), np.asarray(mu8[:5]),
+                               rtol=1e-6)
+
+
 def test_reconstruct_roundtrip(sampler):
     import jax.numpy as jnp
     imgs, labels = synthetic_mnist(6, seed=9)
