@@ -26,6 +26,12 @@ def main(argv=None):
         lambda_flags=(("lambda-image", 1.0), ("lambda-attrs", 10.0)))
     p.add_argument('--approx-m', type=int, default=1,
                    help='number of sampled ELBO subset terms [default: 1]')
+    p.add_argument('--fast-term-decode', action='store_true', default=False,
+                   help='skip the image decode for attribute-only terms '
+                        '(~+35%% steps/sec; image-decoder BatchNorm running '
+                        'stats then see only image-bearing terms — a '
+                        'documented divergence from the reference, which '
+                        'decodes every modality every term)')
     args = p.parse_args(argv)
 
     train_ds = load_celeba(args.data_dir, 'train')
@@ -50,7 +56,8 @@ def main(argv=None):
                  meta={"model": "celeba19", "n_latents": args.n_latents},
                  make_masks=make_masks,
                  eval_term_masks=eval_masks, eval_term_lambdas=eval_lambdas,
-                 recon_support=celeba19_recon_support(args.approx_m, N_ATTRS))
+                 recon_support=celeba19_recon_support(args.approx_m, N_ATTRS),
+                 fast_skip_decode=args.fast_term_decode)
 
 
 if __name__ == "__main__":

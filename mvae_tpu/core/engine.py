@@ -84,7 +84,8 @@ def commit_ema_states(model, state, enc_state, dec_states, term_masks):
     return model.merge_state(enc_new, dec_new)
 
 
-def _decode_grouped(model, params, state, z, dec_keys, train, support):
+def _decode_grouped(model, params, state, z, dec_keys, train, support,
+                    skip_nograd=False):
     """Decode the T terms grouped by their STATIC recon-weight support,
     stopping the gradient of decoder groups a term can never train
     (model.stop_grad_groups). Values, BN statistics, and gradients are
@@ -94,7 +95,15 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support):
     deconv backward (measured 16.8 -> 9.9 ms/step f32 on v5e-1).
 
     support: numpy (T, M) 0/1, trace-time upper bound of the runtime recon
-    weights (masks * lambdas != 0)."""
+    weights (masks * lambdas != 0).
+
+    skip_nograd: opt-in FAST mode — groups in model.skip_decode_groups are
+    not merely gradient-stopped but SKIPPED (the model returns zeros and
+    its incoming BN state). Losses, per-term ELBOs, and gradients are still
+    exactly unchanged (the skipped recon has weight zero), but that
+    decoder's BN running stats no longer see the skipped terms' batch
+    moments — a documented divergence from the reference's decode-
+    everything-every-term statistics."""
     import numpy as np
     T = z.shape[0]
     groups = {}
@@ -106,12 +115,15 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support):
             lambda zt, kt: model.decode(params, state, zt, kt, train)
         )(z, dec_keys)
         return recons, dec_states
+    skippable = frozenset(getattr(model, "skip_decode_groups", ()))
     order, rec_parts, st_parts = [], [], []
     for stop, idxs in groups.items():
         ia = np.asarray(idxs)
+        skip = (stop & skippable) if skip_nograd else frozenset()
+        kw = {"skip_decodes": skip} if skip else {}
         r, s = jax.vmap(
             lambda zt, kt: model.decode(params, state, zt, kt, train,
-                                        stop_grads=stop)
+                                        stop_grads=stop - skip, **kw)
         )(z[ia], dec_keys[ia])
         order.extend(idxs)
         rec_parts.append(r)
@@ -126,7 +138,7 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support):
 
 def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
                     rng, beta, *, train: bool, recon_masks=None,
-                    recon_support=None):
+                    recon_support=None, fast_skip_decode=False):
     """Compute sum over T subset-ELBO terms in one traced graph.
 
     model:        MultimodalVAE (static).
@@ -179,7 +191,8 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
                 else jnp.zeros((T, 2), jnp.uint32))
     if train and recon_support is not None:
         recons, dec_states = _decode_grouped(model, params, state, z,
-                                             dec_keys, train, recon_support)
+                                             dec_keys, train, recon_support,
+                                             skip_nograd=fast_skip_decode)
     else:
         recons, dec_states = jax.vmap(
             lambda zt, kt: model.decode(params, state, zt, kt, train)

@@ -112,18 +112,31 @@ class Celeba19MVAE(MultimodalVAE):
 
     # -- decoders ----------------------------------------------------------
 
+    # decoder groups the engine may SKIP entirely in fast-term-decode mode
+    # (zeros out the recon, leaves BN stats uncommitted for that term)
+    skip_decode_groups = ("image",)
+
     def decode(self, params, state, z, rng, train,
-               stop_grads=frozenset()):
+               stop_grads=frozenset(), skip_decodes=frozenset()):
         cd = self.compute_dtype
-        h = swish(linear(params["image_dec"]["up"], z))
-        h = h.reshape(-1, 5, 5, 256)
-        img, deconv_st = deconv_stack_apply(params["image_dec"]["deconv"],
-                                            state["dec"]["image"], DEC_SPECS,
-                                            h, train=train, dtype=cd)
-        if "image" in stop_grads:
-            # this term's image-recon weight is statically zero: the decode
-            # is only needed for BN statistics — kill its backward
-            img = jax.lax.stop_gradient(img)
+        if "image" in skip_decodes:
+            # fast-term-decode: this term's image-recon weight is
+            # statically zero AND the caller opted out of reference-exact
+            # BN statistics — skip the deconv stack entirely (the zeros
+            # never reach the loss; the returned old state makes the EMA
+            # composition a no-op for this term)
+            img = jnp.zeros(z.shape[:1] + (64, 64, 3), jnp.float32)
+            deconv_st = state["dec"]["image"]
+        else:
+            h = swish(linear(params["image_dec"]["up"], z))
+            h = h.reshape(-1, 5, 5, 256)
+            img, deconv_st = deconv_stack_apply(
+                params["image_dec"]["deconv"], state["dec"]["image"],
+                DEC_SPECS, h, train=train, dtype=cd)
+            if "image" in stop_grads:
+                # image-recon weight statically zero: decode is only needed
+                # for BN statistics — kill its backward
+                img = jax.lax.stop_gradient(img)
         pd = params["attr_dec_experts"]
         x = jnp.broadcast_to(z[:, None, :], (z.shape[0], N_ATTRS, z.shape[1]))
         if cd is not None:

@@ -28,7 +28,8 @@ from mvae_tpu.train.checkpoint import (
 def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                  *, out_dir, meta, make_masks=None, eval_term_masks=None,
                  eval_term_lambdas=None, recon_masks=None,
-                 eval_recon_masks=None, recon_support=None, post_epoch=None):
+                 eval_recon_masks=None, recon_support=None,
+                 fast_skip_decode=False, post_epoch=None):
     """make_masks: optional fn(np_rng) -> (masks, lambdas) per-step arrays for
     experiments with sampled ELBO terms (celeba19). eval_term_masks/lambdas
     override the eval-time terms (celeba19 evals on the joint term only,
@@ -114,7 +115,8 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                                              term_lambdas,
                                              dynamic_masks=dynamic,
                                              recon_masks=recon_masks,
-                                             recon_support=recon_support)
+                                             recon_support=recon_support,
+                                             fast_skip_decode=fast_skip_decode)
         multi_eval = L.make_multi_eval_step(model, ev_masks, ev_lambdas,
                                             recon_masks=eval_recon_masks)
         train_dev = _to_device_data(train_ds)
@@ -128,7 +130,8 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
         train_step = L.make_train_step(model, tx, term_masks, term_lambdas,
                                        dynamic_masks=dynamic,
                                        recon_masks=recon_masks,
-                                       recon_support=recon_support)
+                                       recon_support=recon_support,
+                                       fast_skip_decode=fast_skip_decode)
         eval_step = L.make_eval_step(model, ev_masks, ev_lambdas,
                                      recon_masks=eval_recon_masks)
     n_batches = num_batches(len(train_ds), args.batch_size, True)

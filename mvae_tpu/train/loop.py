@@ -32,7 +32,8 @@ def _static_support(term_masks, term_lambdas, recon_masks):
 
 def make_train_step(model, tx, term_masks, term_lambdas, *,
                     dynamic_masks: bool = False, device_data: bool = False,
-                    recon_masks=None, recon_support=None):
+                    recon_masks=None, recon_support=None,
+                    fast_skip_decode: bool = False):
     """Build the jitted training step.
 
     term_masks/term_lambdas: (T, M) arrays. With dynamic_masks=True the step
@@ -74,7 +75,8 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
             total, aux, new_state = multi_term_elbo(
                 model, p, state, batch_, masks, lambdas, sub, beta,
                 train=True, recon_masks=rmasks,
-                recon_support=recon_support)
+                recon_support=recon_support,
+                fast_skip_decode=fast_skip_decode)
             return total, (aux, new_state)
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
@@ -106,7 +108,8 @@ def gather_local(data, idx):
 
 def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
                           dynamic_masks: bool = False, recon_masks=None,
-                          recon_support=None):
+                          recon_support=None,
+                          fast_skip_decode: bool = False):
     """K training steps in ONE dispatch via lax.scan over the batch-index
     windows — the device-resident pipeline's outer loop.
 
@@ -151,7 +154,8 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
             def loss_fn(pp):
                 total, aux, new_state = multi_term_elbo(
                     model, pp, s, batch, m, lam, sub, beta, train=True,
-                    recon_masks=rmasks, recon_support=recon_support)
+                    recon_masks=rmasks, recon_support=recon_support,
+                    fast_skip_decode=fast_skip_decode)
                 return total, new_state
 
             (loss, new_state), grads = jax.value_and_grad(

@@ -1,6 +1,7 @@
 """CelebA-19: stacked-expert correctness, subset-sampler invariants
 (SURVEY.md §4.1), and the 20+m-term step."""
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -129,6 +130,46 @@ def test_recon_support_grouped_decode_matches_ungrouped():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
                                    atol=1e-4)
+
+
+def test_fast_skip_decode_same_loss_and_grads():
+    """--fast-term-decode skips the image decode for attr-only terms: the
+    loss, per-term ELBOs, and gradients are exactly unchanged (the skipped
+    recon has weight zero); only the image decoder's BN running stats
+    diverge (documented) — they stop seeing the skipped terms' moments."""
+    from mvae_tpu.core.subsets import celeba19_recon_support
+
+    model = Celeba19MVAE(6)
+    params, state = model.init(jax.random.key(0))
+    rng = np.random.default_rng(4)
+    masks, lambdas = celeba19_step_terms(rng, 1, N_ATTRS, 1.0, 10.0)
+    masks, lambdas = jnp.asarray(masks), jnp.asarray(lambdas)
+    support = celeba19_recon_support(1, N_ATTRS)
+    batch = _batch()
+
+    def loss(p, fast):
+        total, aux, st = multi_term_elbo(
+            model, p, state, batch, masks, lambdas, jax.random.key(9),
+            0.5, train=True, recon_support=support, fast_skip_decode=fast)
+        return total, (aux["per_term"], st)
+
+    (l0, (pt0, st0)), g0 = jax.value_and_grad(
+        functools.partial(loss, fast=False), has_aux=True)(params)
+    (l1, (pt1, st1)), g1 = jax.value_and_grad(
+        functools.partial(loss, fast=True), has_aux=True)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pt0), np.asarray(pt1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=1e-4)
+    # attr-decoder state subtrees identical; image BN stats diverge (they
+    # saw 3 instead of 21 term moments)
+    img0 = np.concatenate([np.asarray(s["mean"])
+                           for s in st0["dec"]["image"] if s])
+    img1 = np.concatenate([np.asarray(s["mean"])
+                           for s in st1["dec"]["image"] if s])
+    assert not np.allclose(img0, img1)
 
 
 def test_celeba19_full_step_21_terms():
