@@ -115,11 +115,17 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support,
             lambda zt, kt: model.decode(params, state, zt, kt, train)
         )(z, dec_keys)
         return recons, dec_states
-    skippable = frozenset(getattr(model, "skip_decode_groups", ()))
+    # stateless decoder groups (no BN) can ALWAYS be skipped when their
+    # recon weight is statically zero — no statistics exist to diverge;
+    # stateful (BN) groups additionally need the fast-mode opt-in
+    skippable = frozenset(getattr(model, "exact_skip_groups", ()))
+    if skip_nograd:
+        skippable = skippable | frozenset(
+            getattr(model, "skip_decode_groups", ()))
     order, rec_parts, st_parts = [], [], []
     for stop, idxs in groups.items():
         ia = np.asarray(idxs)
-        skip = (stop & skippable) if skip_nograd else frozenset()
+        skip = stop & skippable
         kw = {"skip_decodes": skip} if skip else {}
         r, s = jax.vmap(
             lambda zt, kt: model.decode(params, state, zt, kt, train,

@@ -115,6 +115,9 @@ class Celeba19MVAE(MultimodalVAE):
     # decoder groups the engine may SKIP entirely in fast-term-decode mode
     # (zeros out the recon, leaves BN stats uncommitted for that term)
     skip_decode_groups = ("image",)
+    # the stacked attr decoder is stateless (no BN): exact skip for the
+    # image-only term
+    exact_skip_groups = ("attrs",)
 
     def decode(self, params, state, z, rng, train,
                stop_grads=frozenset(), skip_decodes=frozenset()):
@@ -137,19 +140,24 @@ class Celeba19MVAE(MultimodalVAE):
                 # image-recon weight statically zero: decode is only needed
                 # for BN statistics — kill its backward
                 img = jax.lax.stop_gradient(img)
-        pd = params["attr_dec_experts"]
-        x = jnp.broadcast_to(z[:, None, :], (z.shape[0], N_ATTRS, z.shape[1]))
-        if cd is not None:
-            x = x.astype(cd)
-        for blk in pd["fc"]:
-            w = blk["w"].astype(cd) if cd is not None else blk["w"]
-            x = swish(jnp.einsum("bih,iho->bio", x, w) + blk["b"][None])
-        hw = pd["head"]["w"].astype(cd) if cd is not None else pd["head"]["w"]
-        attrs = (jnp.einsum("bih,iho->bio", x, hw)
-                 + pd["head"]["b"][None])[..., 0]               # (B, 18)
-        attrs = attrs.astype(jnp.float32)
-        if "attrs" in stop_grads:
-            attrs = jax.lax.stop_gradient(attrs)
+        if "attrs" in skip_decodes:
+            attrs = jnp.zeros((z.shape[0], N_ATTRS), jnp.float32)
+        else:
+            pd = params["attr_dec_experts"]
+            x = jnp.broadcast_to(z[:, None, :],
+                                 (z.shape[0], N_ATTRS, z.shape[1]))
+            if cd is not None:
+                x = x.astype(cd)
+            for blk in pd["fc"]:
+                w = blk["w"].astype(cd) if cd is not None else blk["w"]
+                x = swish(jnp.einsum("bih,iho->bio", x, w) + blk["b"][None])
+            hw = (pd["head"]["w"].astype(cd) if cd is not None
+                  else pd["head"]["w"])
+            attrs = (jnp.einsum("bih,iho->bio", x, hw)
+                     + pd["head"]["b"][None])[..., 0]           # (B, 18)
+            attrs = attrs.astype(jnp.float32)
+            if "attrs" in stop_grads:
+                attrs = jax.lax.stop_gradient(attrs)
         return ({"image": img, "attrs": attrs}, {"image": deconv_st})
 
     def stop_grad_groups(self, support_row) -> frozenset:

@@ -74,14 +74,24 @@ class FashionMnistMVAE(MultimodalVAE):
         logvar = jnp.stack([img_p[:, L:], txt_p[:, L:]])
         return mu, logvar, state["enc"]
 
+    # decoders carry no BN state: exact skips (see engine._decode_grouped)
+    exact_skip_groups = ("image", "text")
+
     def decode(self, params, state, z, rng, train,
-               stop_grads=frozenset()):
-        h = mlp_apply(params["image_dec"]["up"], z, final_activation=True)
-        h = h.reshape(-1, 7, 7, 128)
-        img, _ = deconv_stack_apply(params["image_dec"]["deconv"], [{}] * 2,
-                                    DEC_SPECS, h, train=train,
-                                    dtype=self.compute_dtype)
-        txt = mlp_apply(params["text_dec"], z)
+               stop_grads=frozenset(), skip_decodes=frozenset()):
+        B = z.shape[0]
+        if "image" in skip_decodes:
+            img = jnp.zeros((B, 28, 28, 1), jnp.float32)
+        else:
+            h = mlp_apply(params["image_dec"]["up"], z,
+                          final_activation=True)
+            h = h.reshape(-1, 7, 7, 128)
+            img, _ = deconv_stack_apply(params["image_dec"]["deconv"],
+                                        [{}] * 2, DEC_SPECS, h, train=train,
+                                        dtype=self.compute_dtype)
+        txt = (jnp.zeros((B, 10), jnp.float32)
+               if "text" in skip_decodes
+               else mlp_apply(params["text_dec"], z))
         return stop_grads_apply({"image": img, "text": txt},
                                 stop_grads), state["dec"]
 

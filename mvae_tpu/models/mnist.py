@@ -66,11 +66,20 @@ class MnistMVAE(MultimodalVAE):
         logvar = jnp.stack([img_p[:, L:], txt_p[:, L:]])
         return mu, logvar, state["enc"]
 
+    # both decoders are stateless MLPs: skipping one whose recon weight is
+    # statically zero is EXACT (no BN statistics exist to diverge)
+    exact_skip_groups = ("image", "text")
+
     def decode(self, params, state, z, rng, train,
-               stop_grads=frozenset()):
+               stop_grads=frozenset(), skip_decodes=frozenset()):
         z = z.astype(self.compute_dtype)
-        img = mlp_apply(params["image_dec"], z).astype(jnp.float32)
-        txt = mlp_apply(params["text_dec"], z).astype(jnp.float32)
+        B = z.shape[0]
+        img = (jnp.zeros((B, 784), jnp.float32)
+               if "image" in skip_decodes
+               else mlp_apply(params["image_dec"], z).astype(jnp.float32))
+        txt = (jnp.zeros((B, 10), jnp.float32)
+               if "text" in skip_decodes
+               else mlp_apply(params["text_dec"], z).astype(jnp.float32))
         return stop_grads_apply({"image": img, "text": txt},
                                 stop_grads), state["dec"]
 

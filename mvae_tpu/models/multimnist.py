@@ -96,15 +96,21 @@ class MultiMnistMVAE(MultimodalVAE):
         logvar = jnp.stack([img_p[:, L:], txt_p[:, L:]])
         return mu, logvar, {"image": conv_st}
 
+    # the autoregressive GRU text decoder is stateless (no BN): skipping
+    # it for image-only terms is EXACT and saves a serial 4-step scan
+    exact_skip_groups = ("text",)
+
     def decode(self, params, state, z, rng, train,
-               stop_grads=frozenset()):
+               stop_grads=frozenset(), skip_decodes=frozenset()):
         h = swish(linear(params["image_dec"]["up"], z))
         h = h.reshape(-1, 2, 2, 256)
         img, deconv_st = deconv_stack_apply(params["image_dec"]["deconv"],
                                             state["dec"]["image"], DEC_SPECS,
                                             h, train=train,
                                             dtype=self.compute_dtype)
-        txt = self._decode_text(params["text_dec"], z, rng, train)
+        txt = (jnp.zeros((z.shape[0], MAX_LENGTH, N_CHARACTERS), jnp.float32)
+               if "text" in skip_decodes
+               else self._decode_text(params["text_dec"], z, rng, train))
         return stop_grads_apply({"image": img, "text": txt},
                                 stop_grads), {"image": deconv_st}
 

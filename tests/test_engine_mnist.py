@@ -90,3 +90,33 @@ def test_infer_subset_matches_term_masks():
     m_mu, m_lv = masked_product_of_experts(mu, logvar, MASKS[1])
     np.testing.assert_allclose(np.asarray(i_mu), np.asarray(m_mu), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(i_lv), np.asarray(m_lv), rtol=1e-5)
+
+
+def test_exact_skip_stateless_decoders_matches_full():
+    """Stateless decoders (no BN) are skipped outright for terms with zero
+    static recon support — loss, per-term ELBOs, and grads must equal the
+    no-support full decode exactly."""
+    from mvae_tpu.models.mnist import MnistMVAE
+    import functools
+
+    model = MnistMVAE(8)
+    params, state = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(rng.random((6, 784), np.float32)),
+             "text": jnp.asarray(rng.integers(0, 10, 6), jnp.int32)}
+    support = np.asarray(MASKS, np.float32)
+
+    def loss(p, sup):
+        total, aux, _ = multi_term_elbo(
+            model, p, state, batch, jnp.asarray(MASKS), jnp.asarray(LAMBDAS),
+            jax.random.key(3), 0.7, train=True, recon_support=sup)
+        return total, aux["per_term"]
+
+    (l0, pt0), g0 = jax.value_and_grad(loss, has_aux=True)(params, None)
+    (l1, pt1), g1 = jax.value_and_grad(loss, has_aux=True)(params, support)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pt0), np.asarray(pt1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
