@@ -468,10 +468,264 @@ def run_ours_celeba(xtr, atr, xte, ate):
             "iwae_500": iwae(500), "train_seconds": train_seconds}
 
 
+# ---------------------------------------------------------------------------
+# multimnist family (CNN+BN image, bi-GRU encoder, AR GRU text decoder;
+# reference flow multimnist/train.py:196-268)
+# ---------------------------------------------------------------------------
+
+MULTIMNIST_PROTOCOL = dict(n_latents=64, batch_size=100, lr=1e-3, epochs=12,
+                           annealing_epochs=6, lambda_image=1.0,
+                           lambda_text=10.0, n_train=5000, n_test=1000,
+                           iwae_examples=200, iwae_batch=100)
+
+
+def _multimnist_data():
+    from mvae_tpu.data.multimnist import load_multimnist
+    root = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "parity_multimnist")
+    tr = load_multimnist(root, train=True,
+                         generate_n=MULTIMNIST_PROTOCOL["n_train"])
+    te = load_multimnist(root, train=False)
+    P = MULTIMNIST_PROTOCOL
+    return (tr.arrays["image"][:P["n_train"]],
+            tr.arrays["text"][:P["n_train"]].astype(np.int64),
+            te.arrays["image"][:P["n_test"]],
+            te.arrays["text"][:P["n_test"]].astype(np.int64))
+
+
+def run_torch_multimnist(xtr, ttr, xte, tte):
+    import torch
+    import torch.nn.functional as F
+    P = MULTIMNIST_PROTOCOL
+    L, H = P["n_latents"], 200
+    torch.manual_seed(0)
+
+    def swish(x):
+        return x * torch.sigmoid(x)
+
+    class M(torch.nn.Module):
+        """Reference MultiMNIST MVAE (multimnist/model.py:75-235)."""
+
+        def __init__(self):
+            super().__init__()
+            self.enc = torch.nn.Sequential(
+                torch.nn.Conv2d(1, 32, 4, 2, 1, bias=False), torch.nn.SiLU(),
+                torch.nn.Conv2d(32, 64, 4, 2, 1, bias=False),
+                torch.nn.BatchNorm2d(64), torch.nn.SiLU(),
+                torch.nn.Conv2d(64, 128, 4, 2, 1, bias=False),
+                torch.nn.BatchNorm2d(128), torch.nn.SiLU(),
+                torch.nn.Conv2d(128, 256, 4, 2, 0, bias=False),
+                torch.nn.BatchNorm2d(256), torch.nn.SiLU())
+            self.enc_head = torch.nn.Sequential(
+                torch.nn.Linear(256 * 2 * 2, 512), torch.nn.SiLU(),
+                torch.nn.Dropout(0.1), torch.nn.Linear(512, 2 * L))
+            self.dec_up = torch.nn.Sequential(
+                torch.nn.Linear(L, 256 * 2 * 2), torch.nn.SiLU())
+            self.dec = torch.nn.Sequential(
+                torch.nn.ConvTranspose2d(256, 128, 4, 2, 0, bias=False),
+                torch.nn.BatchNorm2d(128), torch.nn.SiLU(),
+                torch.nn.ConvTranspose2d(128, 64, 4, 2, 1, bias=False),
+                torch.nn.BatchNorm2d(64), torch.nn.SiLU(),
+                torch.nn.ConvTranspose2d(64, 32, 5, 2, 1, bias=False),
+                torch.nn.BatchNorm2d(32), torch.nn.SiLU(),
+                torch.nn.ConvTranspose2d(32, 1, 4, 2, 1, bias=False))
+            self.txt_embed = torch.nn.Embedding(12, H)
+            self.txt_gru = torch.nn.GRU(H, H, 1, bidirectional=True)
+            self.txt_h2p = torch.nn.Linear(H, 2 * L)
+            self.gen_embed = torch.nn.Embedding(12, H)
+            self.gen_z2h = torch.nn.Linear(L, H)
+            self.gen_gru = torch.nn.GRU(H + L, H, 2, dropout=0.1)
+            self.gen_h2o = torch.nn.Linear(H + L, 12)
+
+        def enc_text(self, t):
+            x = self.txt_embed(t).transpose(0, 1)
+            x, _ = self.txt_gru(x)
+            x = x[-1]
+            return self.txt_h2p(x[:, :H] + x[:, H:])
+
+        def dec_text(self, z):
+            B = z.shape[0]
+            c_in = torch.full((B,), 10, dtype=torch.long)  # SOS
+            h = self.gen_z2h(z).unsqueeze(0).repeat(2, 1, 1)
+            outs = []
+            for _ in range(4):
+                e = torch.cat((swish(self.gen_embed(c_in)), z), dim=1)
+                o, h = self.gen_gru(e.unsqueeze(0), h)
+                o = self.gen_h2o(torch.cat((o.squeeze(0), z), dim=1))
+                outs.append(o)
+                c_in = torch.max(F.log_softmax(o, dim=1), dim=1)[1]
+            return torch.stack(outs, dim=1)                # (B, 4, 12)
+
+        def infer(self, image=None, text=None):
+            B = image.shape[0] if image is not None else text.shape[0]
+            mus, lvs = [torch.zeros(B, L)], [torch.zeros(B, L)]
+            if image is not None:
+                h = self.enc_head(self.enc(image).flatten(1))
+                mus.append(h[:, :L]); lvs.append(h[:, L:])
+            if text is not None:
+                h = self.enc_text(text)
+                mus.append(h[:, :L]); lvs.append(h[:, L:])
+            mu, lv = torch.stack(mus), torch.stack(lvs)
+            t = 1.0 / (lv.exp() + 1e-8)
+            return (mu * t).sum(0) / t.sum(0), torch.log(1.0 / t.sum(0))
+
+        def forward(self, image=None, text=None, train=True):
+            mu, lv = self.infer(image, text)
+            z = mu + torch.randn_like(mu) * (0.5 * lv).exp() if train else mu
+            img = self.dec(self.dec_up(z).view(-1, 256, 2, 2))
+            txt = self.dec_text(z)
+            return img, txt, mu, lv
+
+    def bce(x, t):
+        return x.clamp(min=0) - x * t + torch.log1p((-x.abs()).exp())
+
+    def elbo(i_r, image, t_r, text, mu, lv, li, lt, beta):
+        total = beta * (-0.5 * (1 + lv - mu ** 2 - lv.exp()).sum(1))
+        if i_r is not None:
+            total = total + li * bce(i_r.flatten(1), image.flatten(1)).sum(1)
+        if t_r is not None:
+            logp = F.log_softmax(t_r + 1e-6, dim=-1)
+            nll = -logp.gather(-1, text.unsqueeze(-1)).squeeze(-1)
+            total = total + lt * nll.sum(1)    # summed over the 4 positions
+        return total.mean()
+
+    m = M()
+    opt = torch.optim.Adam(m.parameters(), lr=P["lr"])
+    B = P["batch_size"]
+    n_batches = len(xtr) // B
+    rng = np.random.default_rng(0)
+    xtr_t = np.transpose(xtr, (0, 3, 1, 2)).copy()
+    xte_t = np.transpose(xte, (0, 3, 1, 2)).copy()
+    t0 = time.time()
+    for epoch in range(1, P["epochs"] + 1):
+        order = rng.permutation(len(xtr))
+        m.train()
+        for bi in range(n_batches):
+            idx = order[bi * B:(bi + 1) * B]
+            image = torch.from_numpy(xtr_t[idx])
+            text = torch.from_numpy(ttr[idx])
+            beta = min(1.0, (bi + (epoch - 1) * n_batches + 1)
+                       / (P["annealing_epochs"] * n_batches))
+            opt.zero_grad()
+            a = m(image, text)
+            b = m(image)
+            c = m(text=text)
+            loss = (elbo(a[0], image, a[1], text, a[2], a[3],
+                         P["lambda_image"], P["lambda_text"], beta)
+                    + elbo(b[0], image, None, None, b[2], b[3],
+                           P["lambda_image"], P["lambda_text"], beta)
+                    + elbo(None, None, c[1], text, c[2], c[3],
+                           P["lambda_image"], P["lambda_text"], beta))
+            loss.backward()
+            opt.step()
+        print(f"[torch multimnist] epoch {epoch} loss {float(loss):.1f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    m.eval()
+    with torch.no_grad():
+        tot, n = 0.0, 0    # eval at DEFAULT lambdas (multimnist/train.py:256)
+        for lo in range(0, len(xte) - len(xte) % B, B):
+            image = torch.from_numpy(xte_t[lo:lo + B])
+            text = torch.from_numpy(tte[lo:lo + B])
+            a = m(image, text, train=False)
+            b = m(image, train=False)
+            c = m(text=text, train=False)
+            t = (elbo(a[0], image, a[1], text, a[2], a[3], 1.0, 1.0, 1.0)
+                 + elbo(b[0], image, None, None, b[2], b[3], 1.0, 1.0, 1.0)
+                 + elbo(None, None, c[1], text, c[2], c[3], 1.0, 1.0, 1.0))
+            tot += float(t) * B
+            n += B
+        test_elbo = tot / n
+
+        def iwae(k):
+            torch.manual_seed(1)
+            vals = []
+            for lo in range(0, P["iwae_examples"], P["iwae_batch"]):
+                image = torch.from_numpy(xte_t[lo:lo + P["iwae_batch"]])
+                text = torch.from_numpy(tte[lo:lo + P["iwae_batch"]])
+                q_mu, q_lv = m.infer(image, text)
+                lws = []
+                for _ in range(k):
+                    z = q_mu + torch.randn_like(q_mu) * (0.5 * q_lv).exp()
+                    i_r = m.dec(m.dec_up(z).view(-1, 256, 2, 2))
+                    lpxz = -bce(i_r.flatten(1), image.flatten(1)).sum(1)
+
+                    def logn(z, mu, lv):
+                        return (-0.5 * (lv + np.log(2 * np.pi)
+                                        + (z - mu) ** 2 * (-lv).exp())).sum(1)
+                    lws.append(lpxz + logn(z, torch.zeros_like(z),
+                                           torch.zeros_like(z))
+                               - logn(z, q_mu, q_lv))
+                lw = torch.stack(lws)
+                vals.append(torch.logsumexp(lw, 0) - np.log(k))
+            return float(torch.cat(vals).mean())
+
+        return {"test_elbo": test_elbo, "iwae_100": iwae(100),
+                "iwae_500": iwae(500),
+                "train_seconds": round(time.time() - t0, 1)}
+
+
+def run_ours_multimnist(xtr, ttr, xte, tte):
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from mvae_tpu.data.pipeline import ArrayDataset
+    from mvae_tpu.models.multimnist import MultiMnistMVAE
+    from mvae_tpu.train.driver import run_training
+    from mvae_tpu.train.loop import make_eval_step
+    from mvae_tpu.core.loglike import iwae_log_marginal
+
+    P = MULTIMNIST_PROTOCOL
+    train_ds = ArrayDataset({"image": xtr, "text": ttr.astype(np.int32)})
+    test_ds = ArrayDataset({"image": xte, "text": tte.astype(np.int32)})
+    args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
+                           epochs=P["epochs"],
+                           annealing_epochs=P["annealing_epochs"],
+                           log_interval=50, seed=0, resume=None)
+    model = MultiMnistMVAE(P["n_latents"])
+    masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+    lambdas = [[P["lambda_image"], P["lambda_text"]]] * 3
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "trained_models",
+                           "parity_multimnist")
+    t0 = time.time()
+    params, state = run_training(
+        model, train_ds, test_ds, args, masks, lambdas, out_dir=out_dir,
+        eval_term_lambdas=[[1.0, 1.0]] * 3,
+        meta={"model": "multimnist", "n_latents": P["n_latents"]})
+    train_seconds = round(time.time() - t0, 1)
+
+    ev = make_eval_step(model, masks, [[1.0, 1.0]] * 3)
+    B = P["batch_size"]
+    tot, n = 0.0, 0
+    for lo in range(0, len(xte) - len(xte) % B, B):
+        batch = {"image": jnp.asarray(xte[lo:lo + B]),
+                 "text": jnp.asarray(tte[lo:lo + B].astype(np.int32))}
+        loss, _ = ev(params, state, batch)
+        tot += float(loss) * B
+        n += B
+    test_elbo = tot / n
+
+    def iwae(k):
+        vals = []
+        fn = jax.jit(lambda b, r: iwae_log_marginal(
+            model, params, state, b, jnp.ones(2), ("image",), r, k))
+        for i, lo in enumerate(range(0, P["iwae_examples"], P["iwae_batch"])):
+            batch = {"image": jnp.asarray(xte[lo:lo + P["iwae_batch"]]),
+                     "text": jnp.asarray(
+                         tte[lo:lo + P["iwae_batch"]].astype(np.int32))}
+            vals.append(np.asarray(fn(batch, jax.random.key(300 + i))))
+        return float(np.concatenate(vals).mean())
+
+    return {"test_elbo": test_elbo, "iwae_100": iwae(100),
+            "iwae_500": iwae(500), "train_seconds": train_seconds}
+
+
 FAMILIES = {
     "mnist": (PROTOCOL, _data, run_ours, run_torch),
     "celeba": (CELEBA_PROTOCOL, _celeba_data, run_ours_celeba,
                run_torch_celeba),
+    "multimnist": (MULTIMNIST_PROTOCOL, _multimnist_data,
+                   run_ours_multimnist, run_torch_multimnist),
 }
 
 
