@@ -103,14 +103,26 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support,
     exactly unchanged (the skipped recon has weight zero), but that
     decoder's BN running stats no longer see the skipped terms' batch
     moments — a documented divergence from the reference's decode-
-    everything-every-term statistics."""
+    everything-every-term statistics.
+
+    Models may additionally define decode_group_key(support_row) -> key and
+    decode_term_operands(support_rows) -> per-term traced pytree: terms
+    whose static support needs only a strict subset of a STACKED stateless
+    decoder (celeba19's 18 single-attribute terms each need 1 of the 18
+    attr experts) are grouped by that key and decode with per-term gathered
+    expert params — exactly the same losses/gradients (the other experts'
+    recon weights are statically zero and no BN stats exist), ~7x fewer
+    expert-decode FLOPs on the celeba19 step."""
     import numpy as np
     T = z.shape[0]
+    variant_of = getattr(model, "decode_group_key", lambda row: None)
     groups = {}
     for t in range(T):
-        groups.setdefault(model.stop_grad_groups(tuple(support[t])),
+        row = tuple(support[t])
+        groups.setdefault((model.stop_grad_groups(row), variant_of(row)),
                           []).append(t)
-    if len(groups) == 1 and not next(iter(groups)):
+    stop0, var0 = next(iter(groups))
+    if len(groups) == 1 and not stop0 and var0 is None:
         recons, dec_states = jax.vmap(
             lambda zt, kt: model.decode(params, state, zt, kt, train)
         )(z, dec_keys)
@@ -123,14 +135,22 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support,
         skippable = skippable | frozenset(
             getattr(model, "skip_decode_groups", ()))
     order, rec_parts, st_parts = [], [], []
-    for stop, idxs in groups.items():
+    for (stop, variant), idxs in groups.items():
         ia = np.asarray(idxs)
         skip = stop & skippable
         kw = {"skip_decodes": skip} if skip else {}
-        r, s = jax.vmap(
-            lambda zt, kt: model.decode(params, state, zt, kt, train,
-                                        stop_grads=stop - skip, **kw)
-        )(z[ia], dec_keys[ia])
+        if variant is not None:
+            operands = model.decode_term_operands(support[ia])
+            r, s = jax.vmap(
+                lambda zt, kt, op: model.decode(params, state, zt, kt, train,
+                                                stop_grads=stop - skip,
+                                                term_operand=op, **kw)
+            )(z[ia], dec_keys[ia], operands)
+        else:
+            r, s = jax.vmap(
+                lambda zt, kt: model.decode(params, state, zt, kt, train,
+                                            stop_grads=stop - skip, **kw)
+            )(z[ia], dec_keys[ia])
         order.extend(idxs)
         rec_parts.append(r)
         st_parts.append(s)

@@ -119,8 +119,26 @@ class Celeba19MVAE(MultimodalVAE):
     # image-only term
     exact_skip_groups = ("attrs",)
 
+    def decode_group_key(self, support_row):
+        """Terms whose static recon support covers a STRICT subset of the
+        18 attr experts (the 18 single-attribute terms,
+        celeba19/train.py:276-283) decode only those experts via a per-term
+        params gather — exact, since the attr decoders are stateless and
+        the other experts' recon weights are statically zero. Grouped by
+        subset size so equal-shape terms share one vmapped einsum."""
+        k = int(sum(1 for v in support_row[1:] if v))
+        return k if 0 < k < N_ATTRS else None
+
+    def decode_term_operands(self, support_rows):
+        """(G, k) int32 expert indices for a group of same-size terms."""
+        import numpy as np
+        idx = np.stack([np.nonzero(np.asarray(r[1:]))[0]
+                        for r in support_rows])
+        return jnp.asarray(idx, jnp.int32)
+
     def decode(self, params, state, z, rng, train,
-               stop_grads=frozenset(), skip_decodes=frozenset()):
+               stop_grads=frozenset(), skip_decodes=frozenset(),
+               term_operand=None):
         cd = self.compute_dtype
         if "image" in skip_decodes:
             # fast-term-decode: this term's image-recon weight is
@@ -144,18 +162,34 @@ class Celeba19MVAE(MultimodalVAE):
             attrs = jnp.zeros((z.shape[0], N_ATTRS), jnp.float32)
         else:
             pd = params["attr_dec_experts"]
+            if term_operand is None:
+                sel, n_exp = (lambda a: a), N_ATTRS
+            else:
+                # gather this term's (k,) experts out of the stacked params
+                sel, n_exp = (lambda a: a[term_operand]), term_operand.shape[0]
             x = jnp.broadcast_to(z[:, None, :],
-                                 (z.shape[0], N_ATTRS, z.shape[1]))
+                                 (z.shape[0], n_exp, z.shape[1]))
             if cd is not None:
                 x = x.astype(cd)
             for blk in pd["fc"]:
-                w = blk["w"].astype(cd) if cd is not None else blk["w"]
-                x = swish(jnp.einsum("bih,iho->bio", x, w) + blk["b"][None])
-            hw = (pd["head"]["w"].astype(cd) if cd is not None
-                  else pd["head"]["w"])
-            attrs = (jnp.einsum("bih,iho->bio", x, hw)
-                     + pd["head"]["b"][None])[..., 0]           # (B, 18)
-            attrs = attrs.astype(jnp.float32)
+                w = sel(blk["w"])
+                if cd is not None:
+                    w = w.astype(cd)
+                x = swish(jnp.einsum("bih,iho->bio", x, w)
+                          + sel(blk["b"])[None])
+            hw = sel(pd["head"]["w"])
+            if cd is not None:
+                hw = hw.astype(cd)
+            out = (jnp.einsum("bih,iho->bio", x, hw)
+                   + sel(pd["head"]["b"])[None])[..., 0]        # (B, n_exp)
+            out = out.astype(jnp.float32)
+            if term_operand is None:
+                attrs = out
+            else:
+                # scatter the k logits back to expert columns; the zeros
+                # carry statically-zero recon weight
+                attrs = jnp.zeros((z.shape[0], N_ATTRS), jnp.float32)
+                attrs = attrs.at[:, term_operand].set(out)
             if "attrs" in stop_grads:
                 attrs = jax.lax.stop_gradient(attrs)
         return ({"image": img, "attrs": attrs}, {"image": deconv_st})

@@ -132,6 +132,55 @@ def test_recon_support_grouped_decode_matches_ungrouped():
                                    atol=1e-4)
 
 
+def test_gathered_expert_decode_matches_full():
+    """Terms whose static support needs k < 18 attr experts decode with
+    per-term GATHERED expert params (model.decode_group_key /
+    decode_term_operands): loss, per-term ELBOs, committed state, and
+    gradients must match the full-stack decode exactly (the other experts'
+    recon weights are statically zero; the attr decoders are stateless)."""
+    model = Celeba19MVAE(6)
+    params, state = model.init(jax.random.key(0))
+    # joint + image-only + two single-attr terms + one 3-attr subset term
+    masks = np.zeros((5, 19), np.float32)
+    masks[0] = 1.0
+    masks[1, 0] = 1.0
+    masks[2, 3] = 1.0
+    masks[3, 11] = 1.0
+    masks[4, [2, 5, 9]] = 1.0
+    lambdas = np.ones_like(masks)
+    lambdas[:, 1:] = 10.0
+    batch = _batch()
+
+    # the k=1 terms share one gather group; the k=3 term gets its own
+    assert model.decode_group_key(tuple(masks[2])) == 1
+    assert model.decode_group_key(tuple(masks[4])) == 3
+    assert model.decode_group_key(tuple(masks[0])) is None
+    np.testing.assert_array_equal(
+        np.asarray(model.decode_term_operands(masks[[4]])), [[1, 4, 8]])
+
+    def loss(p, sup):
+        total, aux, st = multi_term_elbo(
+            model, p, state, batch, jnp.asarray(masks), jnp.asarray(lambdas),
+            jax.random.key(5), 0.7, train=True, recon_support=sup)
+        return total, (aux["per_term"], st)
+
+    # full decode: support=None forces the ungrouped all-experts path
+    (l0, (pt0, st0)), g0 = jax.value_and_grad(
+        loss, has_aux=True)(params, None)
+    (l1, (pt1, st1)), g1 = jax.value_and_grad(
+        loss, has_aux=True)(params, masks)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pt0), np.asarray(pt1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st0),
+                    jax.tree_util.tree_leaves(st1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=1e-4)
+
+
 def test_fast_skip_decode_same_loss_and_grads():
     """--fast-term-decode skips the image decode for attr-only terms: the
     loss, per-term ELBOs, and gradients are exactly unchanged (the skipped
