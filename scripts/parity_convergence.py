@@ -728,6 +728,10 @@ FAMILIES = {
                    run_ours_multimnist, run_torch_multimnist),
 }
 
+# fashionmnist / celeba19 / vision live in scripts/parity_extra.py
+from parity_extra import EXTRA_FAMILIES                          # noqa: E402
+FAMILIES.update(EXTRA_FAMILIES)
+
 
 def main():
     ap = argparse.ArgumentParser()
