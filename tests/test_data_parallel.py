@@ -69,3 +69,43 @@ def test_tp_sharded_params_same_eval():
                 for k, v in batch.items()}
     loss_tp, _ = ev(params_tp, state_tp, batch_tp)
     np.testing.assert_allclose(float(loss_single), float(loss_tp), rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ep_sharded_gather_decode_matches_single_device():
+    """celeba19's per-term expert-gather decode (engine decode_group_key)
+    under dp x ep: the stacked attr-expert params shard their leading
+    expert axis over "model" while terms gather individual experts —
+    GSPMD must partition the gather/scatter and reproduce the
+    single-device loss."""
+    from mvae_tpu.models.celeba19 import Celeba19MVAE
+
+    model = Celeba19MVAE(6)
+    params, state = model.init(jax.random.key(1))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(5)
+    b = {"image": jnp.asarray(rng.random((8, 64, 64, 3), np.float32)),
+         "attrs": jnp.asarray((rng.random((8, 18)) < 0.4).astype(np.float32))}
+    # joint + image-only + three single-attr terms: the k=1 group decodes
+    # via per-term gathered expert params
+    masks = np.zeros((5, 19), np.float32)
+    masks[0] = 1.0
+    masks[1, 0] = 1.0
+    masks[2, 3] = masks[3, 9] = masks[4, 16] = 1.0
+    lambdas = np.ones_like(masks)
+    step = make_train_step(model, tx, masks, lambdas, recon_support=masks)
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    _, _, _, _, loss_single, pt_s = step(copy(params), copy(state),
+                                         copy(opt_state), jax.random.key(3),
+                                         b, 0.4)
+
+    mesh = make_mesh(data=4, model=2)
+    params_ep = shard_params_tp(params, mesh)      # experts over "model"
+    state_ep, opt_ep = jax.device_put((state, opt_state), replicated(mesh))
+    b_ep = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in b.items()}
+    _, _, _, _, loss_ep, pt_e = step(params_ep, state_ep, opt_ep,
+                                     jax.random.key(3), b_ep, 0.4)
+    np.testing.assert_allclose(float(loss_single), float(loss_ep), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pt_s), np.asarray(pt_e), rtol=1e-5)
