@@ -46,6 +46,23 @@ def _q8(x):
     return (np.round(x * 255.0) / 255.0).astype(np.float32)
 
 
+def _cached(name, build):
+    """Generate the family's arrays once and persist them: the ours phase
+    (TPU process) and the torch phase (CPU-forced process) may run in
+    separate processes, and vision's modality derivation runs jax kernels
+    whose f32 rounding could flip a uint8 quantization boundary between
+    backends — loading one saved copy keeps both sides bit-identical."""
+    path = os.path.join(os.path.dirname(__file__), "..", "trained_models",
+                        f"parity_data_{name}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return tuple(z[f"a{i}"] for i in range(len(z.files)))
+    out = tuple(build())
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, **{f"a{i}": v for i, v in enumerate(out)})
+    return out
+
+
 # ---------------------------------------------------------------------------
 # shared torch pieces
 # ---------------------------------------------------------------------------
@@ -84,12 +101,14 @@ FASHION_PROTOCOL = dict(n_latents=64, batch_size=100, lr=1e-3, epochs=20,
 
 
 def _fashion_data():
-    from mvae_tpu.data.mnist import synthetic_mnist
-    P = FASHION_PROTOCOL
-    xtr, ytr = synthetic_mnist(P["n_train"], seed=2)
-    xte, yte = synthetic_mnist(P["n_test"], seed=3)
-    return (_q8(xtr.reshape(-1, 28, 28, 1)), ytr.astype(np.int64),
-            _q8(xte.reshape(-1, 28, 28, 1)), yte.astype(np.int64))
+    def build():
+        from mvae_tpu.data.mnist import synthetic_mnist
+        P = FASHION_PROTOCOL
+        xtr, ytr = synthetic_mnist(P["n_train"], seed=2)
+        xte, yte = synthetic_mnist(P["n_test"], seed=3)
+        return (_q8(xtr.reshape(-1, 28, 28, 1)), ytr.astype(np.int64),
+                _q8(xte.reshape(-1, 28, 28, 1)), yte.astype(np.int64))
+    return _cached("fashionmnist", build)
 
 
 def run_torch_fashion(xtr, ytr, xte, yte):
@@ -294,12 +313,14 @@ CELEBA19_PROTOCOL = dict(n_latents=100, batch_size=100, lr=1e-4, epochs=8,
 
 
 def _celeba19_data():
-    from mvae_tpu.data.celeba import synthetic_celeba
-    P = CELEBA19_PROTOCOL
-    tr = synthetic_celeba(P["n_train"], seed=0)
-    te = synthetic_celeba(P["n_test"], seed=1)
-    return (_q8(tr.arrays["image"]), tr.arrays["attrs"],
-            _q8(te.arrays["image"]), te.arrays["attrs"])
+    def build():
+        from mvae_tpu.data.celeba import synthetic_celeba
+        P = CELEBA19_PROTOCOL
+        tr = synthetic_celeba(P["n_train"], seed=0)
+        te = synthetic_celeba(P["n_test"], seed=1)
+        return (_q8(tr.arrays["image"]), tr.arrays["attrs"],
+                _q8(te.arrays["image"]), te.arrays["attrs"])
+    return _cached("celeba19", build)
 
 
 def run_torch_celeba19(xtr, atr, xte, ate):
@@ -534,15 +555,20 @@ VISION_CHANNELS = (3, 1, 1, 1, 3, 3)
 
 
 def _vision_data():
-    from mvae_tpu.data.celeba import synthetic_celeba
-    from mvae_tpu.data.vision import derive_modalities
-    P = VISION_PROTOCOL
-    out = []
-    for n, seed in ((P["n_train"], 0), (P["n_test"], 1)):
-        rgb = synthetic_celeba(n, seed=seed).arrays["image"]
-        mods = derive_modalities(rgb, seed=seed)
-        out.append({k: _q8(v) for k, v in mods.items()})
-    return tuple(out)
+    def build():
+        from mvae_tpu.data.celeba import synthetic_celeba
+        from mvae_tpu.data.vision import derive_modalities
+        P = VISION_PROTOCOL
+        flat = []
+        for n, seed in ((P["n_train"], 0), (P["n_test"], 1)):
+            rgb = synthetic_celeba(n, seed=seed).arrays["image"]
+            mods = derive_modalities(rgb, seed=seed)
+            flat.extend(_q8(mods[k]) for k in VISION_MODALITIES)
+        return tuple(flat)
+    flat = _cached("vision", build)
+    n = len(VISION_MODALITIES)
+    return (dict(zip(VISION_MODALITIES, flat[:n])),
+            dict(zip(VISION_MODALITIES, flat[n:])))
 
 
 def run_torch_vision(tr, te):

@@ -75,6 +75,28 @@ def test_vision_sample_unconditional(tmp_path):
         assert (tmp_path / "samples" / f"sample_{m}.png").exists()
 
 
+def test_vision_sample_condition_file_all_types(tmp_path):
+    """--condition-file/--condition-type: an arbitrary user image is
+    re-preprocessed into the requested modality's space (crop 64, gray/
+    edge/obscure/watermark kernels, mask inversion — vision/sample.py
+    :51-103 semantics) before conditioning."""
+    from PIL import Image
+    from mvae_tpu.models.vision import VisionMVAE, MODALITIES
+    import experiments.vision.sample as vs
+    ckpt = _make_ckpt(tmp_path, VisionMVAE(8), "vision")
+    rng = np.random.default_rng(3)
+    cond = tmp_path / "cond.png"
+    Image.fromarray(rng.integers(0, 255, (80, 70, 3), np.uint8)).save(cond)
+    for ctype in MODALITIES:
+        out = tmp_path / ctype
+        vs.main([ckpt, '--n-samples', '1', '--out-dir', str(out),
+                 '--condition-file', str(cond), '--condition-type', ctype])
+        assert (out / "samples" / "sample_image.png").exists()
+    with pytest.raises(SystemExit):
+        vs.main([ckpt, '--condition-file', str(cond),
+                 '--condition-type', 'nonsense'])
+
+
 def test_multimnist_sample(tmp_path, monkeypatch):
     from mvae_tpu.models.multimnist import MultiMnistMVAE
     from mvae_tpu.data.pipeline import ArrayDataset
