@@ -100,6 +100,18 @@ def main():
             return c + jnp.sum(recons["image"][0, 0, 0]) \
                 + jnp.sum(recons["attrs"][0, 0])
 
+        from mvae_tpu.core.engine import _decode_grouped
+        from mvae_tpu.core.subsets import celeba19_recon_support
+        support = celeba19_recon_support(1, N_ATTRS)
+
+        def dec_grouped(c, i):
+            keys = jax.random.split(jax.random.fold_in(jax.random.key(3), i),
+                                    T)
+            recons, _ = _decode_grouped(model, params, state, z0 + c * 0,
+                                        keys, True, support)
+            return c + jnp.sum(recons["image"][0, 0, 0]) \
+                + jnp.sum(recons["attrs"][0, 0])
+
         def fwd(c, i):
             total, _, _ = multi_term_elbo(
                 model, params, state, batch, masks, lambdas,
@@ -121,6 +133,7 @@ def main():
         rows = [("encode (19 experts once)", enc),
                 ("fuse+reparam (T=%d)" % T, fuse),
                 ("decode all T", dec),
+                ("decode grouped+gather", dec_grouped),
                 ("full forward", fwd),
                 ("forward+backward", fwdbwd)]
         print(f"--- {tag} (batch {B}, T={T}, L={L}, K={K}/dispatch) ---",
@@ -131,7 +144,8 @@ def main():
         # full optimizer step via the production multi-step path
         from mvae_tpu.train.loop import make_multi_train_step
         multi = make_multi_train_step(model, tx, None, None,
-                                      dynamic_masks=True)
+                                      dynamic_masks=True,
+                                      recon_support=support)
         n = 1000
         data = {
             "image": jax.device_put((host.random((1, n, 64, 64, 3)) * 255
