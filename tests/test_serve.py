@@ -75,3 +75,24 @@ def test_reconstruct_roundtrip(sampler):
     assert rec["text"].shape == (6, 10)
     np.testing.assert_allclose(np.asarray(rec["text"]).sum(-1), 1.0,
                                rtol=1e-4)
+
+
+def test_warmup_precompiles_endpoints(sampler):
+    """warmup() traces every endpoint for the requested buckets without
+    error; later calls at covered sizes reuse those compiled graphs."""
+    sampler.warmup(buckets=(1, 4))
+    out = sampler.sample(n=3, seed=2, condition={"text": np.asarray([1])})
+    assert out["image"].shape == (3, 784)
+
+
+def test_compilation_cache_dir_config(tmp_path):
+    """enable_compilation_cache points JAX's persistent cache at the
+    requested directory (restart-skip-compile contract)."""
+    import jax as j
+    from mvae_tpu.serve import enable_compilation_cache
+    old = j.config.jax_compilation_cache_dir
+    try:
+        enable_compilation_cache(str(tmp_path))
+        assert j.config.jax_compilation_cache_dir == str(tmp_path)
+    finally:
+        j.config.update("jax_compilation_cache_dir", old)
