@@ -117,3 +117,59 @@ def test_multimnist_sample(tmp_path, monkeypatch):
         assert (tmp_path / "sample_text.txt").exists()
     with pytest.raises(SystemExit):
         ms.main([ckpt, '--condition-on-image', '999'])
+
+
+def test_loglike_cli_remaining_families(tmp_path, monkeypatch):
+    """loglike.py smoke for the four families not covered elsewhere
+    (mnist: tests/test_train_cli.py; celeba: above) — the reference
+    promised this evaluator for every experiment (README.md:36) but
+    shipped none."""
+    import jax.numpy as jnp
+    from mvae_tpu.data.pipeline import ArrayDataset
+    from mvae_tpu.data.celeba import synthetic_celeba
+    from mvae_tpu.data.text import encode_string
+    from mvae_tpu.data.vision import derive_modalities
+    rng = np.random.default_rng(1)
+
+    from mvae_tpu.models.fashionmnist import FashionMnistMVAE
+    import experiments.fashionmnist.loglike as fl
+    monkeypatch.setattr(fl, "load_mnist", lambda root, **kw: ArrayDataset(
+        {"image": rng.random((30, 28, 28, 1), np.float32),
+         "text": (np.arange(30) % 10).astype(np.int32)}))
+    ck = _make_ckpt(tmp_path / "f", FashionMnistMVAE(8), "fashionmnist")
+    ll = fl.main([ck, '--n-samples', '3', '--batch-size', '15',
+                  '--max-examples', '15'])
+    assert np.isfinite(ll)
+
+    from mvae_tpu.models.multimnist import MultiMnistMVAE
+    import experiments.multimnist.loglike as ml
+    monkeypatch.setattr(ml, "load_multimnist",
+                        lambda root, train=False, **kw: ArrayDataset(
+                            {"image": rng.random((20, 50, 50, 1),
+                                                 np.float32),
+                             "text": np.stack([encode_string("31")] * 20)}))
+    ck = _make_ckpt(tmp_path / "m", MultiMnistMVAE(8), "multimnist")
+    ll = ml.main([ck, '--n-samples', '3', '--batch-size', '10',
+                  '--max-examples', '10'])
+    assert np.isfinite(ll)
+
+    from mvae_tpu.models.celeba19 import Celeba19MVAE
+    import experiments.celeba19.loglike as c19l
+    monkeypatch.setattr(c19l, "load_celeba",
+                        lambda root, part, **kw: synthetic_celeba(20, seed=2))
+    ck = _make_ckpt(tmp_path / "c", Celeba19MVAE(8), "celeba19")
+    ll = c19l.main([ck, '--n-samples', '2', '--batch-size', '10',
+                    '--max-examples', '10'])
+    assert np.isfinite(ll)
+
+    from mvae_tpu.models.vision import VisionMVAE
+    import experiments.vision.loglike as vl
+    rgb = synthetic_celeba(10, seed=3).arrays["image"]
+    mods = derive_modalities(rgb, seed=3)
+    monkeypatch.setattr(vl, "load_celeb_vision",
+                        lambda root, part, **kw: ArrayDataset(
+                            {k: jnp.asarray(v) for k, v in mods.items()}))
+    ck = _make_ckpt(tmp_path / "v", VisionMVAE(8), "vision")
+    ll = vl.main([ck, '--n-samples', '2', '--batch-size', '5',
+                  '--max-examples', '5'])
+    assert np.isfinite(ll)
