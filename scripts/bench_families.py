@@ -1,0 +1,156 @@
+"""Throughput rows for all six families in one command.
+
+Measures the production full-optimizer-step path (device-resident data,
+K-step lax.scan per dispatch, dead-backward elimination / exact skips /
+expert gather as each family's driver configures them) with HARD host
+fences (a float() readback per window — block_until_ready alone is
+unreliable over this environment's tunneled backend, BASELINE.md).
+
+Run on the real TPU:  python scripts/bench_families.py [--k 100]
+                      [--families mnist,celeba,...]
+Rows land in BASELINE.md / README.md by hand — this script is the one
+source for re-measuring them.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax                                                     # noqa: E402
+import jax.numpy as jnp                                        # noqa: E402
+import numpy as np                                             # noqa: E402
+import optax                                                   # noqa: E402
+
+from mvae_tpu.train.loop import make_multi_train_step          # noqa: E402
+
+
+def _mnist_family(flat):
+    def build(rng):
+        from mvae_tpu.models.mnist import MnistMVAE
+        from mvae_tpu.models.fashionmnist import FashionMnistMVAE
+        model = (MnistMVAE if flat else FashionMnistMVAE)(64)
+        shape = (784,) if flat else (28, 28, 1)
+        data = {
+            "image": (rng.random((1, 2000) + shape) * 255).astype(np.uint8),
+            "text": (rng.integers(0, 10, (1, 2000))).astype(np.int32),
+        }
+        masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+        lambdas = [[1.0, 10.0]] * 3
+        return model, data, masks, lambdas, {}
+    return build
+
+
+def _multimnist(rng):
+    from mvae_tpu.models.multimnist import MultiMnistMVAE
+    model = MultiMnistMVAE(64)
+    data = {
+        "image": (rng.random((1, 2000, 50, 50, 1)) * 255).astype(np.uint8),
+        "text": rng.integers(0, 12, (1, 2000, 4)).astype(np.int32),
+    }
+    return (model, data, [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]],
+            [[1.0, 10.0]] * 3, {})
+
+
+def _celeba(rng):
+    from mvae_tpu.models.celeba import CelebaMVAE, N_ATTRS
+    model = CelebaMVAE(100)
+    data = {
+        "image": (rng.random((1, 2000, 64, 64, 3)) * 255).astype(np.uint8),
+        "attrs": (rng.random((1, 2000, N_ATTRS)) < 0.3).astype(np.float32),
+    }
+    return (model, data, [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]],
+            [[1.0, 10.0]] * 3, {})
+
+
+def _celeba19(rng):
+    from mvae_tpu.models.celeba19 import Celeba19MVAE, N_ATTRS
+    from mvae_tpu.core.subsets import (celeba19_step_terms,
+                                       celeba19_recon_support)
+    model = Celeba19MVAE(100)
+    data = {
+        "image": (rng.random((1, 2000, 64, 64, 3)) * 255).astype(np.uint8),
+        "attrs": (rng.random((1, 2000, N_ATTRS)) < 0.3).astype(np.float32),
+    }
+    mk, lk = celeba19_step_terms(np.random.default_rng(1), 1, N_ATTRS,
+                                 1.0, 10.0)
+    return model, data, mk, lk, {
+        "dynamic": True, "recon_support": celeba19_recon_support(1, N_ATTRS)}
+
+
+def _vision(rng):
+    from mvae_tpu.models.vision import VisionMVAE, MODALITIES, CHANNELS
+    model = VisionMVAE(100)
+    data = {m: (rng.random((1, 500, 64, 64, CHANNELS[m]))
+                * 255).astype(np.uint8) for m in MODALITIES}
+    masks = np.concatenate([np.ones((1, 6), np.float32),
+                            np.eye(6, dtype=np.float32)])
+    lambdas = np.full((7, 6), 1.0 / 6.0, np.float32)
+    return model, data, masks, lambdas, {
+        "recon_masks": np.ones((7, 6), np.float32), "batch": 50}
+
+
+FAMILIES = {
+    "mnist": _mnist_family(True),
+    "fashionmnist": _mnist_family(False),
+    "multimnist": _multimnist,
+    "celeba": _celeba,
+    "celeba19": _celeba19,
+    "vision": _vision,
+}
+
+
+def bench_family(name, k, reps=3):
+    rng = np.random.default_rng(0)
+    model, data, masks, lambdas, opts = FAMILIES[name](rng)
+    B = opts.get("batch", 100)
+    dynamic = opts.get("dynamic", False)
+    tx = optax.adam(1e-4)
+    params, state = model.init(jax.random.key(0))
+    opt_state = tx.init(params)
+    data = {kk: jax.device_put(v) for kk, v in data.items()}
+    n = next(iter(data.values())).shape[1]
+    idxs = jnp.asarray(rng.integers(0, n, (k, 1, B)), jnp.int32)
+    betas = jnp.full((k,), 0.5, jnp.float32)
+    extra = ()
+    if dynamic:
+        multi = make_multi_train_step(
+            model, tx, None, None, dynamic_masks=True,
+            recon_support=opts.get("recon_support"))
+        extra = (jnp.broadcast_to(jnp.asarray(masks, jnp.float32),
+                                  (k,) + np.shape(masks)),
+                 jnp.broadcast_to(jnp.asarray(lambdas, jnp.float32),
+                                  (k,) + np.shape(lambdas)))
+    else:
+        multi = make_multi_train_step(
+            model, tx, masks, lambdas,
+            recon_masks=opts.get("recon_masks"))
+    out = multi(params, state, opt_state, jax.random.key(6), data, idxs,
+                betas, *extra)
+    float(out[4][-1])                     # compile + warm, hard fence
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = multi(out[0], out[1], out[2], out[3], data, idxs, betas,
+                    *extra)
+        float(out[4][-1])
+        times.append((time.perf_counter() - t0) / k)
+    ms = np.asarray(times) * 1e3
+    print(f"{name:13s} B={B:3d}: {ms.mean():8.3f} +- {ms.std():.3f} ms/step "
+          f"({1e3 / ms.mean():7.1f} steps/sec)", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--families", type=str,
+                    default=",".join(FAMILIES))
+    ns = ap.parse_args()
+    for name in ns.families.split(","):
+        bench_family(name, ns.k)
+
+
+if __name__ == "__main__":
+    main()
