@@ -28,10 +28,13 @@ from mvae_tpu.train.loop import make_multi_train_step          # noqa: E402
 
 
 def _mnist_family(flat):
-    def build(rng):
+    def build(rng, dtype):
         from mvae_tpu.models.mnist import MnistMVAE
         from mvae_tpu.models.fashionmnist import FashionMnistMVAE
-        model = (MnistMVAE if flat else FashionMnistMVAE)(64)
+        if flat:
+            model = MnistMVAE(64, compute_dtype=dtype or jnp.float32)
+        else:
+            model = FashionMnistMVAE(64, compute_dtype=dtype)
         shape = (784,) if flat else (28, 28, 1)
         data = {
             "image": (rng.random((1, 2000) + shape) * 255).astype(np.uint8),
@@ -43,9 +46,9 @@ def _mnist_family(flat):
     return build
 
 
-def _multimnist(rng):
+def _multimnist(rng, dtype):
     from mvae_tpu.models.multimnist import MultiMnistMVAE
-    model = MultiMnistMVAE(64)
+    model = MultiMnistMVAE(64, compute_dtype=dtype)
     data = {
         "image": (rng.random((1, 2000, 50, 50, 1)) * 255).astype(np.uint8),
         "text": rng.integers(0, 12, (1, 2000, 4)).astype(np.int32),
@@ -54,9 +57,9 @@ def _multimnist(rng):
             [[1.0, 10.0]] * 3, {})
 
 
-def _celeba(rng):
+def _celeba(rng, dtype):
     from mvae_tpu.models.celeba import CelebaMVAE, N_ATTRS
-    model = CelebaMVAE(100)
+    model = CelebaMVAE(100, compute_dtype=dtype)
     data = {
         "image": (rng.random((1, 2000, 64, 64, 3)) * 255).astype(np.uint8),
         "attrs": (rng.random((1, 2000, N_ATTRS)) < 0.3).astype(np.float32),
@@ -65,11 +68,11 @@ def _celeba(rng):
             [[1.0, 10.0]] * 3, {})
 
 
-def _celeba19(rng):
+def _celeba19(rng, dtype):
     from mvae_tpu.models.celeba19 import Celeba19MVAE, N_ATTRS
     from mvae_tpu.core.subsets import (celeba19_step_terms,
                                        celeba19_recon_support)
-    model = Celeba19MVAE(100)
+    model = Celeba19MVAE(100, compute_dtype=dtype)
     data = {
         "image": (rng.random((1, 2000, 64, 64, 3)) * 255).astype(np.uint8),
         "attrs": (rng.random((1, 2000, N_ATTRS)) < 0.3).astype(np.float32),
@@ -80,9 +83,9 @@ def _celeba19(rng):
         "dynamic": True, "recon_support": celeba19_recon_support(1, N_ATTRS)}
 
 
-def _vision(rng):
+def _vision(rng, dtype):
     from mvae_tpu.models.vision import VisionMVAE, MODALITIES, CHANNELS
-    model = VisionMVAE(100)
+    model = VisionMVAE(100, compute_dtype=dtype)
     data = {m: (rng.random((1, 500, 64, 64, CHANNELS[m]))
                 * 255).astype(np.uint8) for m in MODALITIES}
     masks = np.concatenate([np.ones((1, 6), np.float32),
@@ -102,9 +105,9 @@ FAMILIES = {
 }
 
 
-def bench_family(name, k, reps=3):
+def bench_family(name, k, reps=3, dtype=None):
     rng = np.random.default_rng(0)
-    model, data, masks, lambdas, opts = FAMILIES[name](rng)
+    model, data, masks, lambdas, opts = FAMILIES[name](rng, dtype)
     B = opts.get("batch", 100)
     dynamic = opts.get("dynamic", False)
     tx = optax.adam(1e-4)
@@ -138,7 +141,8 @@ def bench_family(name, k, reps=3):
         float(out[4][-1])
         times.append((time.perf_counter() - t0) / k)
     ms = np.asarray(times) * 1e3
-    print(f"{name:13s} B={B:3d}: {ms.mean():8.3f} +- {ms.std():.3f} ms/step "
+    tag = "bf16" if dtype is not None else "f32"
+    print(f"{name:13s} {tag:4s} B={B:3d}: {ms.mean():8.3f} +- {ms.std():.3f} ms/step "
           f"({1e3 / ms.mean():7.1f} steps/sec)", flush=True)
 
 
@@ -147,9 +151,12 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--families", type=str,
                     default=",".join(FAMILIES))
+    ap.add_argument("--bf16", action="store_true",
+                    help="compute in bfloat16 (params/losses stay f32)")
     ns = ap.parse_args()
     for name in ns.families.split(","):
-        bench_family(name, ns.k)
+        bench_family(name, ns.k,
+                     dtype=jnp.bfloat16 if ns.bf16 else None)
 
 
 if __name__ == "__main__":
