@@ -743,21 +743,28 @@ def main():
     data = data_fn()
     out_path = os.path.join(os.path.dirname(__file__), "..",
                             "PARITY_convergence.json")
-    all_results = {}
-    if os.path.exists(out_path):
+
+    def load_results():
+        if not os.path.exists(out_path):
+            return {}
         with open(out_path) as f:
             all_results = json.load(f)
-    # migrate the round-2 flat (mnist-only) layout
-    if "ours" in all_results:
-        all_results = {"mnist": all_results}
-    result = all_results.get(ns.family, {})
-    result["protocol"] = protocol
+        # migrate the round-2 flat (mnist-only) layout
+        return {"mnist": all_results} if "ours" in all_results else all_results
+
+    fresh = {"protocol": protocol}
     if not ns.skip_ours:
-        result["ours"] = ours_fn(*data)
-        print("[ours]", result["ours"], flush=True)
+        fresh["ours"] = ours_fn(*data)
+        print("[ours]", fresh["ours"], flush=True)
     if not ns.skip_torch:
-        result["torch"] = torch_fn(*data)
-        print("[torch]", result["torch"], flush=True)
+        fresh["torch"] = torch_fn(*data)
+        print("[torch]", fresh["torch"], flush=True)
+
+    # merge-on-write: reload AFTER the hours-long runs so a concurrent
+    # invocation updating another side/family is not clobbered with the
+    # stale snapshot this process started from
+    all_results = load_results()
+    result = dict(all_results.get(ns.family, {}), **fresh)
     if "ours" in result and "torch" in result:
         result["rel_diff"] = {
             k: abs(result["ours"][k] - result["torch"][k])
