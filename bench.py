@@ -100,9 +100,11 @@ def measure_ours():
     return rates, flops_per_step
 
 
-def measure_torch_baseline(iters=3):
+def measure_torch_baseline(iters=8):
     """Reference-equivalent PyTorch workload on this host (eager, three
-    forwards per step). Cached — delete BASELINE_local.json to re-measure."""
+    forwards per step). Cached — delete BASELINE_local.json to re-measure,
+    and only re-measure on a QUIET host: a concurrent CPU load deflates
+    the torch side and inflates the ratio (round 1's 0.235 artifact)."""
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             return json.load(f)
