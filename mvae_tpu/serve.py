@@ -29,7 +29,13 @@ def enable_compilation_cache(cache_dir: str):
     cache): a restarted serving process reloads each endpoint's executable
     from `cache_dir` instead of re-paying the ~40-90s TPU compile. The
     thresholds are zeroed so every endpoint graph is cached regardless of
-    size/compile time."""
+    size/compile time.
+
+    CAVEAT (this dev environment only): over the tunneled axon backend the
+    cache WRITE path stalls for minutes per executable (measured: a single
+    2048x2048 matmul cache-miss exceeded 240s vs ~5s uncached), so this is
+    opt-in and should only be enabled on directly-attached TPU hosts,
+    where executable serialization is the standard local path."""
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np                                            # noqa: E402
 
+# training-trajectory seed (init/shuffle/reparam noise); the DATA seeds
+# stay fixed. MVAE_PARITY_SEED=1 reruns a family on a different
+# trajectory to quantify single-seed variance; such results are stored
+# under "<family>@seed<N>" instead of overwriting the canonical entry.
+TRAIN_SEED = int(os.environ.get("MVAE_PARITY_SEED", "0"))
+
 PROTOCOL = dict(n_latents=64, batch_size=100, lr=1e-3, epochs=40,
                 annealing_epochs=20, lambda_image=1.0, lambda_text=10.0,
                 n_train=20000, n_test=2000, iwae_examples=1000,
@@ -50,7 +56,7 @@ def run_torch(xtr, ytr, xte, yte):
     import torch.nn.functional as F
     P = PROTOCOL
     L = P["n_latents"]
-    torch.manual_seed(0)
+    torch.manual_seed(TRAIN_SEED)
 
     def swish(x):
         return x * torch.sigmoid(x)
@@ -109,7 +115,7 @@ def run_torch(xtr, ytr, xte, yte):
     opt = torch.optim.Adam(m.parameters(), lr=P["lr"])
     B = P["batch_size"]
     n_batches = len(xtr) // B
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(TRAIN_SEED)
     t0 = time.time()
     for epoch in range(1, P["epochs"] + 1):
         order = rng.permutation(len(xtr))
@@ -200,7 +206,7 @@ def run_ours(xtr, ytr, xte, yte):
     args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
-                           log_interval=100, seed=0, resume=None)
+                           log_interval=100, seed=TRAIN_SEED, resume=None)
     model = MnistMVAE(P["n_latents"])
     masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
     lambdas = [[P["lambda_image"], P["lambda_text"]]] * 3
@@ -261,7 +267,7 @@ def run_torch_celeba(xtr, atr, xte, ate):
     import torch
     P = CELEBA_PROTOCOL
     L, A = P["n_latents"], 18
-    torch.manual_seed(0)
+    torch.manual_seed(TRAIN_SEED)
 
     def swish(x):
         return x * torch.sigmoid(x)
@@ -341,7 +347,7 @@ def run_torch_celeba(xtr, atr, xte, ate):
     opt = torch.optim.Adam(m.parameters(), lr=P["lr"])
     B = P["batch_size"]
     n_batches = len(xtr) // B
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(TRAIN_SEED)
     xtr_t = np.transpose(xtr, (0, 3, 1, 2)).copy()
     xte_t = np.transpose(xte, (0, 3, 1, 2)).copy()
     t0 = time.time()
@@ -431,7 +437,7 @@ def run_ours_celeba(xtr, atr, xte, ate):
     args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
-                           log_interval=100, seed=0, resume=None)
+                           log_interval=100, seed=TRAIN_SEED, resume=None)
     model = CelebaMVAE(P["n_latents"])
     masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
     lambdas = [[P["lambda_image"], P["lambda_attrs"]]] * 3
@@ -498,7 +504,7 @@ def run_torch_multimnist(xtr, ttr, xte, tte):
     import torch.nn.functional as F
     P = MULTIMNIST_PROTOCOL
     L, H = P["n_latents"], 200
-    torch.manual_seed(0)
+    torch.manual_seed(TRAIN_SEED)
 
     def swish(x):
         return x * torch.sigmoid(x)
@@ -593,7 +599,7 @@ def run_torch_multimnist(xtr, ttr, xte, tte):
     opt = torch.optim.Adam(m.parameters(), lr=P["lr"])
     B = P["batch_size"]
     n_batches = len(xtr) // B
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(TRAIN_SEED)
     xtr_t = np.transpose(xtr, (0, 3, 1, 2)).copy()
     xte_t = np.transpose(xte, (0, 3, 1, 2)).copy()
     t0 = time.time()
@@ -681,7 +687,7 @@ def run_ours_multimnist(xtr, ttr, xte, tte):
     args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
-                           log_interval=50, seed=0, resume=None)
+                           log_interval=50, seed=TRAIN_SEED, resume=None)
     model = MultiMnistMVAE(P["n_latents"])
     masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
     lambdas = [[P["lambda_image"], P["lambda_text"]]] * 3
@@ -763,14 +769,16 @@ def main():
     # merge-on-write: reload AFTER the hours-long runs so a concurrent
     # invocation updating another side/family is not clobbered with the
     # stale snapshot this process started from
+    store_key = (ns.family if TRAIN_SEED == 0
+                 else f"{ns.family}@seed{TRAIN_SEED}")
     all_results = load_results()
-    result = dict(all_results.get(ns.family, {}), **fresh)
+    result = dict(all_results.get(store_key, {}), **fresh)
     if "ours" in result and "torch" in result:
         result["rel_diff"] = {
             k: abs(result["ours"][k] - result["torch"][k])
             / abs(result["torch"][k])
             for k in ("test_elbo", "iwae_100", "iwae_500")}
-    all_results[ns.family] = result
+    all_results[store_key] = result
     with open(out_path, "w") as f:
         json.dump(all_results, f, indent=1)
     print(json.dumps(result.get("rel_diff", {}), indent=1))

@@ -39,6 +39,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+TRAIN_SEED = int(os.environ.get("MVAE_PARITY_SEED", "0"))  # see
+# parity_convergence.py — trajectory seed, data seeds stay fixed
+
 
 def _q8(x):
     """Snap float images to the uint8 grid (what the device-resident
@@ -119,7 +122,7 @@ def run_torch_fashion(xtr, ytr, xte, yte):
     import torch.nn.functional as F
     P = FASHION_PROTOCOL
     L = P["n_latents"]
-    torch.manual_seed(0)
+    torch.manual_seed(TRAIN_SEED)
 
     class M(torch.nn.Module):
         """Reference FashionMNIST MVAE (fashionmnist/model.py:70-165)."""
@@ -180,7 +183,7 @@ def run_torch_fashion(xtr, ytr, xte, yte):
     opt = torch.optim.Adam(m.parameters(), lr=P["lr"])
     B = P["batch_size"]
     n_batches = len(xtr) // B
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(TRAIN_SEED)
     xtr_t = np.transpose(xtr, (0, 3, 1, 2)).copy()
     xte_t = np.transpose(xte, (0, 3, 1, 2)).copy()
     t0 = time.time()
@@ -265,7 +268,7 @@ def run_ours_fashion(xtr, ytr, xte, yte):
     args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
-                           log_interval=50, seed=0, resume=None)
+                           log_interval=50, seed=TRAIN_SEED, resume=None)
     model = FashionMnistMVAE(P["n_latents"])
     masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
     lambdas = [[P["lambda_image"], P["lambda_text"]]] * 3
@@ -331,7 +334,7 @@ def run_torch_celeba19(xtr, atr, xte, ate):
     from mvae_tpu.core.subsets import celeba19_step_terms
     P = CELEBA19_PROTOCOL
     L, A = P["n_latents"], 18
-    torch.manual_seed(0)
+    torch.manual_seed(TRAIN_SEED)
 
     class M(torch.nn.Module):
         """Reference CelebA19 MVAE (celeba19/model.py): the celeba image
@@ -409,7 +412,7 @@ def run_torch_celeba19(xtr, atr, xte, ate):
     opt = torch.optim.Adam(m.parameters(), lr=P["lr"])
     B = P["batch_size"]
     n_batches = len(xtr) // B
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(TRAIN_SEED)
     subset_rng = np.random.default_rng(1)
     xtr_t = np.transpose(xtr, (0, 3, 1, 2)).copy()
     xte_t = np.transpose(xte, (0, 3, 1, 2)).copy()
@@ -497,7 +500,7 @@ def run_ours_celeba19(xtr, atr, xte, ate):
     args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
-                           log_interval=20, seed=0, resume=None)
+                           log_interval=20, seed=TRAIN_SEED, resume=None)
     model = Celeba19MVAE(P["n_latents"])
     static_m, static_l = celeba19_static_terms(
         N_ATTRS, P["lambda_image"], P["lambda_attrs"])
@@ -578,7 +581,7 @@ def run_torch_vision(tr, te):
     import torch
     P = VISION_PROTOCOL
     L = P["n_latents"]
-    torch.manual_seed(0)
+    torch.manual_seed(TRAIN_SEED)
 
     def enc(c):
         return torch.nn.Sequential(
@@ -650,7 +653,7 @@ def run_torch_vision(tr, te):
     B = P["batch_size"]
     n = len(tr["image"])
     n_batches = n // B
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(TRAIN_SEED)
     tr_t = [np.transpose(tr[k], (0, 3, 1, 2)).copy()
             for k in VISION_MODALITIES]
     te_t = [np.transpose(te[k], (0, 3, 1, 2)).copy()
@@ -730,7 +733,7 @@ def run_ours_vision(tr, te):
     args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
-                           log_interval=20, seed=0, resume=None)
+                           log_interval=20, seed=TRAIN_SEED, resume=None)
     model = VisionMVAE(P["n_latents"])
     term_masks = np.concatenate([np.ones((1, 6), np.float32),
                                  np.eye(6, dtype=np.float32)])
