@@ -21,8 +21,10 @@ import time
 BATCH = 100
 N_LATENTS = 100
 WARMUP = 3
-ITERS = 120   # steps fused per dispatch; measured 413/443/462 steps/sec at
-              # K=30/60/120 on v5e-1 (window boundaries amortize away)
+ITERS = 480   # steps fused per dispatch; window sweep (BASELINE.md):
+              # 356/486/541 steps/sec at K=30/120/480 on v5e-1 — each
+              # window boundary costs ~34 ms of tunnel dispatch+readback,
+              # so longer windows approach the ~1.78 ms pure-device step
 BASELINE_FILE = os.path.join(os.path.dirname(__file__),
                              "BASELINE_local.json")
 
