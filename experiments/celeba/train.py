@@ -20,14 +20,16 @@ def main(argv=None):
         n_latents=100, epochs=100, annealing_epochs=20, lr=1e-4,
         lambda_flags=(("lambda-image", 1.0), ("lambda-attrs", 10.0)),
     ).parse_args(argv)
-    train_ds = load_celeba(args.data_dir, 'train')
-    test_ds = load_celeba(args.data_dir, 'val')   # reference evals on val
+    train_ds = load_celeba(args.data_dir, 'train',
+                           exact_decode=args.exact_decode)
+    test_ds = load_celeba(args.data_dir, 'val',   # reference evals on val
+                          exact_decode=args.exact_decode)
     import jax.numpy as jnp
     model = CelebaMVAE(args.n_latents,
                        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     lambdas = [[args.lambda_image, args.lambda_attrs]] * 3
     run_training(model, train_ds, test_ds, args, TERM_MASKS, lambdas,
-                 out_dir=args.out_dir,
+                 out_dir=args.out_dir, eval_progress=True,
                  meta={"model": "celeba", "n_latents": args.n_latents})
 
 

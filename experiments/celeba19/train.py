@@ -34,8 +34,10 @@ def main(argv=None):
                         'decodes every modality every term)')
     args = p.parse_args(argv)
 
-    train_ds = load_celeba(args.data_dir, 'train')
-    test_ds = load_celeba(args.data_dir, 'val')
+    train_ds = load_celeba(args.data_dir, 'train',
+                           exact_decode=args.exact_decode)
+    test_ds = load_celeba(args.data_dir, 'val',
+                          exact_decode=args.exact_decode)
     import jax.numpy as jnp
     model = Celeba19MVAE(args.n_latents,
                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
@@ -52,7 +54,7 @@ def main(argv=None):
     eval_lambdas = np.ones((1, 1 + N_ATTRS), np.float32)
 
     run_training(model, train_ds, test_ds, args, static_m, static_l,
-                 out_dir=args.out_dir,
+                 out_dir=args.out_dir, eval_progress=True,
                  meta={"model": "celeba19", "n_latents": args.n_latents},
                  make_masks=make_masks,
                  eval_term_masks=eval_masks, eval_term_lambdas=eval_lambdas,

@@ -39,7 +39,7 @@ def load_condition(path, ctype):
     if ctype == "obscured":
         return np.asarray(T.obscure(jnp.asarray(rgb)))
     if ctype == "watermark":
-        wm = jnp.asarray(T.make_watermark(64, 64))
+        wm = jnp.asarray(T.load_watermark(64, 64, data_dir='./data'))
         return np.asarray(T.alpha_composite(jnp.asarray(rgb), wm))
     raise SystemExit(f"unknown condition type {ctype!r}")
 

@@ -56,8 +56,10 @@ def main(argv=None):
     args = train_parser(n_latents=250, epochs=100, annealing_epochs=20,
                         lr=1e-4, batch_size=50,
                         lambda_flags=()).parse_args(argv)
-    train_ds = load_celeb_vision(args.data_dir, 'train')
-    test_ds = load_celeb_vision(args.data_dir, 'val')
+    train_ds = load_celeb_vision(args.data_dir, 'train',
+                                 exact_decode=args.exact_decode)
+    test_ds = load_celeb_vision(args.data_dir, 'val',
+                                exact_decode=args.exact_decode)
     import jax.numpy as jnp
     model = VisionMVAE(args.n_latents,
                        compute_dtype=jnp.bfloat16 if args.bf16 else None)

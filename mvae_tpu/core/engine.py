@@ -110,9 +110,11 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support,
     whose static support needs only a strict subset of a STACKED stateless
     decoder (celeba19's 18 single-attribute terms each need 1 of the 18
     attr experts) are grouped by that key and decode with per-term gathered
-    expert params — exactly the same losses/gradients (the other experts'
-    recon weights are statically zero and no BN stats exist), ~7x fewer
-    expert-decode FLOPs on the celeba19 step."""
+    expert params — mathematically identical losses/gradients (the other
+    experts' recon weights are statically zero and no BN stats exist;
+    numerically equal within float reassociation, asserted at rtol 5e-4
+    in tests/test_celeba19.py), ~7x fewer expert-decode FLOPs on the
+    celeba19 step."""
     import numpy as np
     T = z.shape[0]
     variant_of = getattr(model, "decode_group_key", lambda row: None)

@@ -85,9 +85,15 @@ def _resize_center_crop_64(img):
 
 
 def load_celeba(data_dir='./data', partition='train', *, synthetic_ok=True,
-                max_examples=None, synthetic_n=None):
+                max_examples=None, synthetic_n=None, exact_decode=False):
     """Returns ArrayDataset with image (N,64,64,3) float32 [0,1] and
-    attrs (N,18) float32 {0,1}."""
+    attrs (N,18) float32 {0,1}.
+
+    exact_decode=True forces the PIL decode path (exact torchvision pixel
+    semantics) instead of the native libjpeg fast path, whose DCT-prescaled
+    decode differs from PIL by a few percent per pixel — use for
+    reference-parity runs on real data (wired as --exact-decode on the
+    celeba/celeba19/vision train CLIs)."""
     eval_file = os.path.join(data_dir, 'Eval/list_eval_partition.txt')
     if os.path.isfile(eval_file):
         from mvae_tpu.data import native
@@ -99,7 +105,7 @@ def load_celeba(data_dir='./data', partition='train', *, synthetic_ok=True,
         # native libjpeg fast path (native/image_decode.cc): DCT-prescaled
         # decode + resize/center-crop, measured 1.7x PIL on this host; PIL
         # fallback keeps exact torchvision semantics when unavailable
-        use_native = native.available()
+        use_native = native.available() and not exact_decode
         for i, p in enumerate(paths):
             full = os.path.join(data_dir, 'img_align_celeba', p)
             if use_native:

@@ -22,7 +22,7 @@ import numpy as np
 
 from mvae_tpu.data.celeba import load_celeba, VALID_PARTITIONS
 from mvae_tpu.data.pipeline import ArrayDataset
-from mvae_tpu.image.transforms import make_watermark, landmark_mask
+from mvae_tpu.image.transforms import load_watermark, landmark_mask
 
 N_MODALITIES = 6
 
@@ -60,7 +60,7 @@ def synthetic_landmarks(h=64, w=64, seed=0):
 
 
 def derive_modalities(rgb: np.ndarray, *, masks: np.ndarray = None,
-                      seed: int = 0) -> dict:
+                      seed: int = 0, data_dir: str = None) -> dict:
     """rgb: (N, 64, 64, 3) float32 [0,1] -> dict of all six modalities.
     Gray/edge/obscure/watermark run as jitted jax kernels on the default
     device; the landmark mask rasterizes on host (or uses precomputed)."""
@@ -69,7 +69,9 @@ def derive_modalities(rgb: np.ndarray, *, masks: np.ndarray = None,
     from mvae_tpu.image import transforms as T
 
     n, h, w, _ = rgb.shape
-    wm = jnp.asarray(make_watermark(h, w))
+    # user-supplied <data_dir>/watermark.png reproduces the reference's
+    # asset exactly; procedural fallback otherwise (image/transforms.py)
+    wm = jnp.asarray(load_watermark(h, w, data_dir=data_dir))
 
     @jax.jit
     def derive(x):
@@ -113,9 +115,10 @@ def _load_precomputed_masks(data_dir, paths):
 
 
 def load_celeb_vision(data_dir='./data', partition='train', *,
-                      synthetic_ok=True, max_examples=None):
+                      synthetic_ok=True, max_examples=None,
+                      exact_decode=False):
     base = load_celeba(data_dir, partition, synthetic_ok=synthetic_ok,
-                       max_examples=max_examples)
+                       max_examples=max_examples, exact_decode=exact_decode)
     rgb = base.arrays["image"]
     masks = None
     eval_file = os.path.join(data_dir, 'Eval/list_eval_partition.txt')
@@ -126,5 +129,6 @@ def load_celeb_vision(data_dir='./data', partition='train', *,
             paths = paths[:max_examples]
         masks = _load_precomputed_masks(data_dir, paths)
     mods = derive_modalities(rgb, masks=masks,
-                             seed=VALID_PARTITIONS[partition])
+                             seed=VALID_PARTITIONS[partition],
+                             data_dir=data_dir)
     return ArrayDataset(mods)

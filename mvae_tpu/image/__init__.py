@@ -4,5 +4,6 @@ from mvae_tpu.image.transforms import (
     obscure,
     alpha_composite,
     make_watermark,
+    load_watermark,
     landmark_mask,
 )

@@ -157,6 +157,24 @@ def make_watermark(h: int = 64, w: int = 64) -> np.ndarray:
     return rgba
 
 
+def load_watermark(h: int = 64, w: int = 64, *, path: str = None,
+                   data_dir: str = None) -> np.ndarray:
+    """RGBA watermark in [0,1]. The reference alpha-pastes a binary asset,
+    vision/watermark.png, resized bicubic to the image size
+    (vision/datasets.py:114-129). To reproduce it exactly, drop that file at
+    `path` (or `<data_dir>/watermark.png`); absent a user asset this falls
+    back to the deterministic procedural mark (we ship no binaries)."""
+    import os
+    if path is None and data_dir is not None:
+        cand = os.path.join(data_dir, "watermark.png")
+        path = cand if os.path.isfile(cand) else None
+    if path is None:
+        return make_watermark(h, w)
+    from PIL import Image
+    im = Image.open(path).convert("RGBA").resize((w, h), Image.BICUBIC)
+    return np.asarray(im, np.float32) / 255.0
+
+
 # -- landmark mask rasterization ---------------------------------------------
 
 # 68-point landmark region index ranges (iBUG 300-W convention, as used by

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mvae_tpu.core.anneal import annealing_factor
+from mvae_tpu.core.anneal import annealing_factor, annealing_factor_from_step
 from mvae_tpu.data.pipeline import batches, num_batches
 from mvae_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
 from mvae_tpu.train import loop as L
@@ -29,7 +29,8 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                  *, out_dir, meta, make_masks=None, eval_term_masks=None,
                  eval_term_lambdas=None, recon_masks=None,
                  eval_recon_masks=None, recon_support=None,
-                 fast_skip_decode=False, post_epoch=None):
+                 fast_skip_decode=False, post_epoch=None,
+                 eval_progress=False):
     """make_masks: optional fn(np_rng) -> (masks, lambdas) per-step arrays for
     experiments with sampled ELBO terms (celeba19). eval_term_masks/lambdas
     override the eval-time terms (celeba19 evals on the joint term only,
@@ -58,17 +59,44 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
         best_loss = ck_meta["best_loss"]
         print(f"resumed from {resume} at epoch {ck_meta['epoch']}")
 
+    # Mesh policy: ALL visible devices always participate. The batch axis
+    # shards over gcd(n_devices, batch_size) chips; when the batch does not
+    # divide evenly (the reference's fixed batch 100 on a v5e-8 gives
+    # gcd=4), the remaining factor goes to the "model" mesh axis as tensor/
+    # expert parallelism (shard_params_tp) instead of idling half the slice
+    # — a dp x tp decomposition with semantics identical to single-device
+    # (tested batch-100-on-8 in tests/test_sharded_device_data.py).
     mesh = None
     n_dev = len(jax.devices())
     if n_dev > 1:
         import math
-        n_use = math.gcd(n_dev, args.batch_size)  # batch must shard evenly
-        if n_use > 1:
-            mesh = make_mesh(n_use)
-            rep = replicated(mesh)
+        from mvae_tpu.parallel.mesh import shard_params_tp
+        n_dp = math.gcd(n_dev, args.batch_size)
+        n_tp = n_dev // n_dp
+        mesh = make_mesh(n_dev, data=n_dp, model=n_tp)
+        rep = replicated(mesh)
+        if n_tp > 1:
+            from jax.sharding import NamedSharding
+            params = shard_params_tp(params, mesh)
+            state = jax.device_put(state, rep)
+            # adam's mu/nu mirror the params' TP shardings; scalars (count)
+            # and anything tx.init left off-mesh replicate
+            tmpl = tx.init(params)
+
+            def _sh(t):
+                s = getattr(t, "sharding", None)
+                return (s if isinstance(s, NamedSharding)
+                        and s.mesh == mesh else rep)
+            opt_state = jax.tree_util.tree_map(
+                lambda v, t: jax.device_put(v, _sh(t)), opt_state, tmpl)
+            print(f"mesh over all {n_dev} devices: {n_dp}-way data x "
+                  f"{n_tp}-way tensor/expert parallel (batch "
+                  f"{args.batch_size} is not divisible by {n_dev}; the "
+                  f"leftover factor shards parameters, not nothing)")
+        else:
             params, state, opt_state = jax.device_put(
                 (params, state, opt_state), rep)
-            print(f"data-parallel over {mesh.devices.size} devices")
+            print(f"data-parallel over all {n_dev} devices")
 
     # Device-resident input pipeline: when the dataset fits an HBM budget,
     # park ALL data on the chip(s) (images as uint8, 4x smaller; decoded to
@@ -121,6 +149,7 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                                             recon_masks=eval_recon_masks)
         train_dev = _to_device_data(train_ds)
         test_dev = _to_device_data(test_ds)
+        tail_eval = [None]     # lazily-built ragged-tail eval (one compile)
         shard_note = (f", sharded over {n_shards} chips"
                       if n_shards > 1 else "")
         print("input pipeline: device-resident "
@@ -139,7 +168,7 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
 
     def place(batch):
         n = len(next(iter(batch.values())))
-        if mesh is None or n % mesh.devices.size != 0:
+        if mesh is None or n % mesh.shape["data"] != 0:
             return batch          # ragged eval tail: run replicated
         s = batch_sharding(mesh)
         return {k: jax.device_put(v, s) for k, v in batch.items()}
@@ -171,19 +200,32 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
             idxs = jnp.asarray(
                 perms[:, lo * b:(lo + k) * b]
                 .reshape(D, k, b).transpose(1, 0, 2), jnp.int32)  # (k, D, b)
-            betas = jnp.asarray([
-                annealing_factor(epoch, step_i + j, n_batches,
-                                 args.annealing_epochs) for j in range(k)],
-                jnp.float32)
+            if args.annealing_epochs > 0:
+                # traced schedule form — same values as annealing_factor
+                # (asserted in tests/test_losses.py), vectorized over the
+                # window
+                gsteps = (epoch - 1) * n_batches + step_i + np.arange(k)
+                betas = jnp.asarray(annealing_factor_from_step(
+                    gsteps, n_batches, args.annealing_epochs), jnp.float32)
+            else:
+                betas = jnp.ones((k,), jnp.float32)
             if dynamic:
                 ms, ls = zip(*[make_masks(mask_rng) for _ in range(k)])
                 extra = (jnp.asarray(np.stack(ms), jnp.float32),
                          jnp.asarray(np.stack(ls), jnp.float32))
             else:
                 extra = ()
-            params, state, opt_state, rng, losses = multi_step(
-                params, state, opt_state, rng, train_dev, idxs, betas,
-                *extra)
+            # --profile-dir: trace the SECOND dispatch window of the first
+            # epoch (the first window pays the compile) on this default
+            # device-resident path
+            trace_now = bool(profile_dir and epoch == start_epoch
+                             and (lo == K or (steps <= K and lo == 0)))
+            with maybe_trace(profile_dir, trace_now):
+                params, state, opt_state, rng, losses = multi_step(
+                    params, state, opt_state, rng, train_dev, idxs, betas,
+                    *extra)
+                if trace_now:       # keep execution inside the trace
+                    jax.block_until_ready(losses)
             for v in np.asarray(losses):          # ONE fetch per window
                 meter.update(float(v), B)
             step_i += k
@@ -252,9 +294,36 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                 for v in np.asarray(multi_eval(params, state, test_dev,
                                                idxs)):
                     test_meter.update(float(v), B)
+            # ragged tail: rows beyond the full-batch windows (per-shard
+            # local tails + the global len%D drop). The reference's test()
+            # sees every example (mnist/train.py:229-253); evaluate the
+            # remainder as one host-fed replicated batch so the device path
+            # reports the same weighted mean as the host path.
+            tail = np.concatenate(
+                [np.arange(d * n_loc + ev_steps * b, (d + 1) * n_loc)
+                 for d in range(D)]
+                + [np.arange(D * n_loc, len(test_ds))]).astype(np.int64)
+            if len(tail):
+                if tail_eval[0] is None:
+                    tail_eval[0] = L.make_eval_step(
+                        model, ev_masks, ev_lambdas,
+                        recon_masks=eval_recon_masks)
+                tb = {k: v[tail] for k, v in test_ds.arrays.items()}
+                loss, _ = tail_eval[0](params, state, tb)
+                test_meter.update(float(loss), len(tail))
         else:
             eval_pending = []
-            for b in batches(test_ds, args.batch_size, shuffle=False):
+            ev_iter = batches(test_ds, args.batch_size, shuffle=False)
+            if eval_progress:
+                # the reference's only other observability surface: a tqdm
+                # bar over the test loader (celeba/train.py:226,247-249)
+                try:
+                    from tqdm import tqdm
+                    ev_iter = tqdm(ev_iter, total=num_batches(
+                        len(test_ds), args.batch_size, False))
+                except ImportError:
+                    pass
+            for b in ev_iter:
                 loss, _ = eval_step(params, state, place(b))
                 eval_pending.append((loss, len(next(iter(b.values())))))
             for lo, n in eval_pending:

@@ -39,8 +39,10 @@ def run_loglike(argv, model_ctor, load_test_ds, *, default_target="image"):
 
     key = jax.random.key(args.seed)
     vals, seen = [], 0
-    for batch in batches(test_ds, args.batch_size, shuffle=False,
-                         drop_remainder=True):
+    # no drop_remainder: every test example counts (reference test()
+    # semantics, mnist/train.py:229-253); the ragged tail costs one extra
+    # jit compile at its own batch shape
+    for batch in batches(test_ds, args.batch_size, shuffle=False):
         if args.max_examples and seen >= args.max_examples:
             break
         key, sub = jax.random.split(key)

@@ -31,7 +31,12 @@ def train_parser(*, n_latents, epochs, annealing_epochs, lr, batch_size=100,
     p.add_argument('--bf16', action='store_true', default=False,
                    help='bfloat16 compute for the conv/expert stacks '
                         '(params, BN stats and losses stay f32); measured '
-                        '+24%% on celeba19, no win on the smaller models')
+                        'wins on every family at production shapes '
+                        '(BASELINE.md)')
+    p.add_argument('--exact-decode', action='store_true', default=False,
+                   help='force the PIL-exact image decode path for real '
+                        'CelebA ingest (reference pixel semantics) instead '
+                        'of the faster native libjpeg path')
     return p
 
 

@@ -49,7 +49,7 @@ def _q8(x):
     return (np.round(x * 255.0) / 255.0).astype(np.float32)
 
 
-def _cached(name, build):
+def _cached(name, build, counts=None):
     """Generate the family's arrays once and persist them: the ours phase
     (TPU process) and the torch phase (CPU-forced process) may run in
     separate processes, and vision's modality derivation runs jax kernels
@@ -59,7 +59,15 @@ def _cached(name, build):
                         f"parity_data_{name}.npz")
     if os.path.exists(path):
         z = np.load(path)
-        return tuple(z[f"a{i}"] for i in range(len(z.files)))
+        cached = tuple(z[f"a{i}"] for i in range(len(z.files)))
+        # the cache is keyed only by family name; protocol edits to the
+        # data shaping (n_train/n_test) must invalidate it rather than
+        # silently reuse stale arrays. counts: expected shape[0] per array.
+        if counts is None or tuple(v.shape[0] for v in cached) == \
+                tuple(counts):
+            return cached
+        print(f"[parity] stale {path} (protocol changed) — regenerating",
+              flush=True)
     out = tuple(build())
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez(path, **{f"a{i}": v for i, v in enumerate(out)})
@@ -114,7 +122,10 @@ def _fashion_data():
         xte, yte = synthetic_mnist(P["n_test"], seed=3)
         return (_q8(xtr.reshape(-1, 28, 28, 1)), ytr.astype(np.int64),
                 _q8(xte.reshape(-1, 28, 28, 1)), yte.astype(np.int64))
-    return _cached("fashionmnist", build)
+    P = FASHION_PROTOCOL
+    return _cached("fashionmnist", build,
+                   counts=(P["n_train"], P["n_train"],
+                           P["n_test"], P["n_test"]))
 
 
 def run_torch_fashion(xtr, ytr, xte, yte):
@@ -326,7 +337,10 @@ def _celeba19_data():
         te = synthetic_celeba(P["n_test"], seed=1)
         return (_q8(tr.arrays["image"]), tr.arrays["attrs"],
                 _q8(te.arrays["image"]), te.arrays["attrs"])
-    return _cached("celeba19", build)
+    P = CELEBA19_PROTOCOL
+    return _cached("celeba19", build,
+                   counts=(P["n_train"], P["n_train"],
+                           P["n_test"], P["n_test"]))
 
 
 def run_torch_celeba19(xtr, atr, xte, ate):
@@ -413,7 +427,9 @@ def run_torch_celeba19(xtr, atr, xte, ate):
     B = P["batch_size"]
     n_batches = len(xtr) // B
     rng = np.random.default_rng(TRAIN_SEED)
-    subset_rng = np.random.default_rng(1)
+    # mirror the driver's mask_rng derivation (train/driver.py: seed + 1) so
+    # @seedN runs keep the SAME numpy subset sampler on both sides
+    subset_rng = np.random.default_rng(TRAIN_SEED + 1)
     xtr_t = np.transpose(xtr, (0, 3, 1, 2)).copy()
     xte_t = np.transpose(xte, (0, 3, 1, 2)).copy()
     t0 = time.time()
@@ -571,8 +587,10 @@ def _vision_data():
             mods = derive_modalities(rgb, seed=seed)
             flat.extend(_q8(mods[k]) for k in VISION_MODALITIES)
         return tuple(flat)
-    flat = _cached("vision", build)
     n = len(VISION_MODALITIES)
+    P = VISION_PROTOCOL
+    flat = _cached("vision", build,
+                   counts=(P["n_train"],) * n + (P["n_test"],) * n)
     return (dict(zip(VISION_MODALITIES, flat[:n])),
             dict(zip(VISION_MODALITIES, flat[n:])))
 

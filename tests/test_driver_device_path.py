@@ -1,8 +1,9 @@
 """Exercise the driver's device-resident chunked-scan path end-to-end.
 
-An odd batch size (gcd(8, 25) = 1) forces mesh=None — the single-chip TPU
-path. A divisible batch size builds the 8-virtual-device mesh AND keeps the
-device-resident pipeline (sharded over "data"): the multi-chip fast path."""
+Mesh policy (round 3): ALL visible devices participate. A divisible batch
+shards over all 8 on "data"; batch 100 gives a dp=4 x tp=2 decomposition
+(the reference's fixed batch-100 contract on a v5e-8 must not idle half the
+slice); gcd=1 degenerates to pure tensor parallelism."""
 
 import numpy as np
 
@@ -16,6 +17,8 @@ def _tiny(n, seed):
 
 
 def test_device_data_training_runs_and_checkpoints(tmp_path, capsys):
+    """batch 25 on 8 devices: gcd=1 -> pure 8-way tensor parallel; the
+    device-resident pipeline stays active (n_shards=1)."""
     from experiments.fashionmnist import train as fm_train
     fm_train.load_mnist = lambda root, train=True, **kw: _tiny(
         150 if train else 50, 0 if train else 1)
@@ -25,6 +28,7 @@ def test_device_data_training_runs_and_checkpoints(tmp_path, capsys):
                    '--out-dir', str(tmp_path), '--data-dir', str(tmp_path)])
     out = capsys.readouterr().out
     assert "device-resident" in out
+    assert "1-way data x 8-way tensor/expert parallel" in out
     assert "====> Test Loss" in out
     assert (tmp_path / "checkpoint.msgpack").exists()
     # loss decreased between epochs
@@ -44,12 +48,68 @@ def test_device_data_sharded_over_mesh(tmp_path, capsys):
                    '--log-interval', '4',
                    '--out-dir', str(tmp_path), '--data-dir', str(tmp_path)])
     out = capsys.readouterr().out
-    assert "data-parallel over 8 devices" in out
+    assert "data-parallel over all 8 devices" in out
     assert "sharded over 8 chips" in out
     assert "====> Test Loss" in out
     epochs = [float(l.rsplit(None, 1)[-1]) for l in out.splitlines()
               if l.startswith("====> Epoch")]
     assert len(epochs) == 2 and epochs[1] < epochs[0]
+
+
+def test_batch100_uses_all_8_devices_dp4_tp2(tmp_path, capsys):
+    """VERDICT r2 #2: the flagship default batch 100 on an 8-device slice
+    must engage all 8 chips — dp=4 x tp=2 — with the device-resident
+    sharded pipeline, and say so loudly."""
+    from experiments.mnist import train as mn_train
+    mn_train.load_mnist = lambda root, train=True, **kw: _tiny(
+        400 if train else 100, 4 if train else 5)
+    mn_train.main(['--epochs', '1', '--batch-size', '100',
+                   '--annealing-epochs', '1', '--n-latents', '8',
+                   '--log-interval', '2',
+                   '--out-dir', str(tmp_path), '--data-dir', str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "mesh over all 8 devices: 4-way data x 2-way tensor/expert " \
+           "parallel" in out
+    assert "sharded over 4 chips" in out
+    losses = [float(l.rsplit(None, 1)[-1]) for l in out.splitlines()
+              if l.startswith("====> Epoch")]
+    assert np.isfinite(losses[0])
+
+
+def test_device_eval_counts_every_example(tmp_path, capsys):
+    """VERDICT r2 #4: the device-resident eval must include the ragged test
+    tail. Test set 57, batch 24 on 8 shards -> windows cover 48 rows; the
+    9-row remainder (per-shard tails + the global len%D drop) must be
+    evaluated too: the reported test loss equals an independent full-set
+    weighted mean computed from the checkpointed params."""
+    import jax
+    import jax.numpy as jnp
+    from experiments.mnist import train as mn_train
+    from mvae_tpu.models.mnist import MnistMVAE
+    from mvae_tpu.train.driver import load_model_checkpoint
+    from mvae_tpu.train import loop as L
+
+    test_ds = _tiny(57, 7)
+    mn_train.load_mnist = lambda root, train=True, **kw: (
+        _tiny(96, 6) if train else test_ds)
+    mn_train.main(['--epochs', '1', '--batch-size', '24',
+                   '--annealing-epochs', '1', '--n-latents', '8',
+                   '--log-interval', '2',
+                   '--out-dir', str(tmp_path), '--data-dir', str(tmp_path)])
+    out = capsys.readouterr().out
+    reported = [float(l.rsplit(None, 1)[-1]) for l in out.splitlines()
+                if l.startswith("====> Test Loss")][0]
+
+    model, params, state, _ = load_model_checkpoint(
+        str(tmp_path / "checkpoint.msgpack"), MnistMVAE)
+    ev = L.make_eval_step(model, mn_train.TERM_MASKS, [[1.0, 1.0]] * 3)
+    tot = 0.0
+    for lo in range(0, 57, 19):          # any batching: weighted mean ==
+        batch = {k: jnp.asarray(v[lo:lo + 19])   # global per-example mean
+                 for k, v in test_ds.arrays.items()}
+        loss, _ = ev(params, state, batch)
+        tot += float(loss) * 19
+    np.testing.assert_allclose(reported, tot / 57, rtol=2e-5)
 
 
 def test_device_data_dynamic_masks_chunked_path():

@@ -95,3 +95,50 @@ def test_sharded_multi_step_equals_single_device():
     e1 = ev(p1, s1, data1, jnp.asarray(_global_idxs(ev_local)))
     eD = ev(pD, sD, dataD, jnp.asarray(ev_local))
     np.testing.assert_allclose(np.asarray(eD), np.asarray(e1), rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs virtual devices")
+def test_dp4_tp2_equals_single_device():
+    """The round-3 mesh policy's dp x tp decomposition (batch not divisible
+    by the device count -> leftover factor shards parameters over "model")
+    must train identically to single-device on the same examples."""
+    from mvae_tpu.parallel.mesh import shard_params_tp
+    mesh = make_mesh(8, data=D, model=2)    # D=4 data shards, tp=2
+    model = MnistMVAE(8)
+    params, state = model.init(jax.random.key(0))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    multi = make_multi_train_step(model, tx, MASKS, LAMBDAS)
+
+    local = _local_idxs(13)
+    betas = jnp.linspace(0.2, 1.0, K)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+
+    data1 = {k: jax.device_put(v) for k, v in _data(1).items()}
+    p1, s1, o1, _, losses1 = multi(
+        copy(params), copy(state), copy(opt), jax.random.key(9), data1,
+        jnp.asarray(_global_idxs(local)), betas)
+
+    dataD = {k: jax.device_put(v, batch_sharding(mesh))
+             for k, v in _data(D).items()}
+    pT = shard_params_tp(params, mesh)
+    sT = jax.device_put(state, replicated(mesh))
+    oT = jax.tree_util.tree_map(
+        lambda v: jax.device_put(v, replicated(mesh)), opt)
+    idxs = jax.device_put(jnp.asarray(local),
+                          NamedSharding(mesh, P(None, "data")))
+    pD, sD, oD, _, lossesD = multi(pT, sT, oT, jax.random.key(9), dataD,
+                                   idxs, betas)
+
+    # params actually sharded over the model axis (512-wide FC matrices)
+    tp_sharded = [a for a in jax.tree_util.tree_leaves(pT)
+                  if "model" in str(getattr(a.sharding, "spec", ""))]
+    assert tp_sharded, "TP heuristic sharded nothing"
+    np.testing.assert_allclose(np.asarray(lossesD), np.asarray(losses1),
+                               rtol=1e-5)
+    # TP adds a second collective-reduction reorder on top of the psums;
+    # adam's rsqrt amplifies the f32 noise to ~1e-4 after 3 steps
+    for a, b in zip(jax.tree_util.tree_leaves(pD),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2.5e-4)
