@@ -19,6 +19,11 @@ def main(argv=None):
     args = train_parser(
         n_latents=100, epochs=100, annealing_epochs=20, lr=1e-4,
         lambda_flags=(("lambda-image", 1.0), ("lambda-attrs", 10.0)),
+        # bf16 default: +6-9% steps/sec at the production window with
+        # convergence parity at the f32 gap (PARITY_convergence.json
+        # celeba@bf16: ELBO/IWAE within 0.05-0.08% of the torch baseline,
+        # same as f32); --f32 restores exact reference numerics
+        bf16_default=True,
     ).parse_args(argv)
     train_ds = load_celeba(args.data_dir, 'train',
                            exact_decode=args.exact_decode)

@@ -5,7 +5,8 @@ import argparse
 
 
 def train_parser(*, n_latents, epochs, annealing_epochs, lr, batch_size=100,
-                 lambda_flags=(("lambda-image", 1.0), ("lambda-text", 10.0))):
+                 lambda_flags=(("lambda-image", 1.0), ("lambda-text", 10.0)),
+                 bf16_default=False):
     p = argparse.ArgumentParser()
     p.add_argument('--n-latents', type=int, default=n_latents,
                    help=f'size of the latent embedding [default: {n_latents}]')
@@ -28,11 +29,17 @@ def train_parser(*, n_latents, epochs, annealing_epochs, lr, batch_size=100,
     p.add_argument('--no-device-data', action='store_true', default=False,
                    help='disable the device-resident input pipeline '
                         '(stream batches from host instead)')
-    p.add_argument('--bf16', action='store_true', default=False,
+    p.add_argument('--bf16', action='store_true', default=bf16_default,
                    help='bfloat16 compute for the conv/expert stacks '
                         '(params, BN stats and losses stay f32); measured '
                         'wins on every family at production shapes '
-                        '(BASELINE.md)')
+                        '(BASELINE.md)'
+                        + (' [DEFAULT for this experiment: convergence '
+                           'parity measured at the f32 gap, '
+                           'PARITY_convergence.json @bf16]'
+                           if bf16_default else ''))
+    p.add_argument('--f32', dest='bf16', action='store_false',
+                   help='force float32 compute (exact reference numerics)')
     p.add_argument('--exact-decode', action='store_true', default=False,
                    help='force the PIL-exact image decode path for real '
                         'CelebA ingest (reference pixel semantics) instead '

@@ -33,6 +33,20 @@ import numpy as np                                            # noqa: E402
 # under "<family>@seed<N>" instead of overwriting the canonical entry.
 TRAIN_SEED = int(os.environ.get("MVAE_PARITY_SEED", "0"))
 
+# MVAE_PARITY_BF16=1 reruns the OURS side with bfloat16 compute (the train
+# CLIs' --bf16 mode: conv/expert stacks in bf16; params, BN stats, losses
+# f32). Results store under "<family>@bf16" and rel_diff falls back to the
+# family's canonical f32 torch baseline — the claim under test is that the
+# fast mode trains to the same place.
+BF16 = os.environ.get("MVAE_PARITY_BF16") == "1"
+
+
+def compute_dtype():
+    if not BF16:
+        return None
+    import jax.numpy as jnp
+    return jnp.bfloat16
+
 PROTOCOL = dict(n_latents=64, batch_size=100, lr=1e-3, epochs=40,
                 annealing_epochs=20, lambda_image=1.0, lambda_text=10.0,
                 n_train=20000, n_test=2000, iwae_examples=1000,
@@ -207,7 +221,7 @@ def run_ours(xtr, ytr, xte, yte):
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
                            log_interval=100, seed=TRAIN_SEED, resume=None)
-    model = MnistMVAE(P["n_latents"])
+    model = MnistMVAE(P["n_latents"], compute_dtype=compute_dtype())
     masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
     lambdas = [[P["lambda_image"], P["lambda_text"]]] * 3
     t0 = time.time()
@@ -438,7 +452,7 @@ def run_ours_celeba(xtr, atr, xte, ate):
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
                            log_interval=100, seed=TRAIN_SEED, resume=None)
-    model = CelebaMVAE(P["n_latents"])
+    model = CelebaMVAE(P["n_latents"], compute_dtype=compute_dtype())
     masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
     lambdas = [[P["lambda_image"], P["lambda_attrs"]]] * 3
     out_dir = os.path.join(os.path.dirname(__file__), "..", "trained_models",
@@ -688,7 +702,7 @@ def run_ours_multimnist(xtr, ttr, xte, tte):
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
                            log_interval=50, seed=TRAIN_SEED, resume=None)
-    model = MultiMnistMVAE(P["n_latents"])
+    model = MultiMnistMVAE(P["n_latents"], compute_dtype=compute_dtype())
     masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
     lambdas = [[P["lambda_image"], P["lambda_text"]]] * 3
     out_dir = os.path.join(os.path.dirname(__file__), "..", "trained_models",
@@ -769,15 +783,21 @@ def main():
     # merge-on-write: reload AFTER the hours-long runs so a concurrent
     # invocation updating another side/family is not clobbered with the
     # stale snapshot this process started from
-    store_key = (ns.family if TRAIN_SEED == 0
-                 else f"{ns.family}@seed{TRAIN_SEED}")
+    store_key = (ns.family
+                 + (f"@seed{TRAIN_SEED}" if TRAIN_SEED else "")
+                 + ("@bf16" if BF16 else ""))
     all_results = load_results()
     result = dict(all_results.get(store_key, {}), **fresh)
-    if "ours" in result and "torch" in result:
+    # @bf16 (and any run without its own torch phase) diffs against the
+    # family's canonical torch baseline
+    torch_ref = result.get("torch") or all_results.get(
+        ns.family, {}).get("torch")
+    if "ours" in result and torch_ref:
         result["rel_diff"] = {
-            k: abs(result["ours"][k] - result["torch"][k])
-            / abs(result["torch"][k])
+            k: abs(result["ours"][k] - torch_ref[k]) / abs(torch_ref[k])
             for k in ("test_elbo", "iwae_100", "iwae_500")}
+        if "torch" not in result:
+            result["rel_diff_vs"] = ns.family
     all_results[store_key] = result
     with open(out_path, "w") as f:
         json.dump(all_results, f, indent=1)

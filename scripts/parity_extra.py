@@ -41,6 +41,15 @@ import numpy as np
 
 TRAIN_SEED = int(os.environ.get("MVAE_PARITY_SEED", "0"))  # see
 # parity_convergence.py — trajectory seed, data seeds stay fixed
+BF16 = os.environ.get("MVAE_PARITY_BF16") == "1"  # ours-side bf16 mode
+# (see parity_convergence.py; duplicated to avoid a circular import)
+
+
+def compute_dtype():
+    if not BF16:
+        return None
+    import jax.numpy as jnp
+    return jnp.bfloat16
 
 
 def _q8(x):
@@ -280,7 +289,7 @@ def run_ours_fashion(xtr, ytr, xte, yte):
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
                            log_interval=50, seed=TRAIN_SEED, resume=None)
-    model = FashionMnistMVAE(P["n_latents"])
+    model = FashionMnistMVAE(P["n_latents"], compute_dtype=compute_dtype())
     masks = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
     lambdas = [[P["lambda_image"], P["lambda_text"]]] * 3
     out_dir = os.path.join(os.path.dirname(__file__), "..", "trained_models",
@@ -517,7 +526,7 @@ def run_ours_celeba19(xtr, atr, xte, ate):
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
                            log_interval=20, seed=TRAIN_SEED, resume=None)
-    model = Celeba19MVAE(P["n_latents"])
+    model = Celeba19MVAE(P["n_latents"], compute_dtype=compute_dtype())
     static_m, static_l = celeba19_static_terms(
         N_ATTRS, P["lambda_image"], P["lambda_attrs"])
 
@@ -752,7 +761,7 @@ def run_ours_vision(tr, te):
                            epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
                            log_interval=20, seed=TRAIN_SEED, resume=None)
-    model = VisionMVAE(P["n_latents"])
+    model = VisionMVAE(P["n_latents"], compute_dtype=compute_dtype())
     term_masks = np.concatenate([np.ones((1, 6), np.float32),
                                  np.eye(6, dtype=np.float32)])
     recon_masks = np.ones((7, 6), np.float32)
