@@ -54,8 +54,10 @@ def _recon_dump(model, test_ds, out_dir):
 
 def main(argv=None):
     args = train_parser(n_latents=250, epochs=100, annealing_epochs=20,
-                        lr=1e-4, batch_size=50,
-                        lambda_flags=()).parse_args(argv)
+                        lr=1e-4, batch_size=50, lambda_flags=(),
+                        # +24% steps/sec; convergence parity at the f32
+                        # gap (PARITY_convergence.json vision@bf16)
+                        bf16_default=True).parse_args(argv)
     train_ds = load_celeb_vision(args.data_dir, 'train',
                                  exact_decode=args.exact_decode)
     test_ds = load_celeb_vision(args.data_dir, 'val',
