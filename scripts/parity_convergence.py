@@ -796,7 +796,9 @@ def main():
         result["rel_diff"] = {
             k: abs(result["ours"][k] - torch_ref[k]) / abs(torch_ref[k])
             for k in ("test_elbo", "iwae_100", "iwae_500")}
-        if "torch" not in result:
+        if "torch" in result:        # own torch phase supersedes fallback
+            result.pop("rel_diff_vs", None)
+        else:
             result["rel_diff_vs"] = ns.family
     all_results[store_key] = result
     with open(out_path, "w") as f:
