@@ -40,6 +40,10 @@ TRAIN_SEED = int(os.environ.get("MVAE_PARITY_SEED", "0"))
 # fast mode trains to the same place.
 BF16 = os.environ.get("MVAE_PARITY_BF16") == "1"
 
+# MVAE_PARITY_FAST=1 (celeba19 only): the ours side trains with
+# --fast-term-decode (see parity_extra.py); stored under "@fast".
+FAST = os.environ.get("MVAE_PARITY_FAST") == "1"
+
 
 def compute_dtype():
     if not BF16:
@@ -785,7 +789,8 @@ def main():
     # stale snapshot this process started from
     store_key = (ns.family
                  + (f"@seed{TRAIN_SEED}" if TRAIN_SEED else "")
-                 + ("@bf16" if BF16 else ""))
+                 + ("@bf16" if BF16 else "")
+                 + ("@fast" if FAST else ""))
     all_results = load_results()
     result = dict(all_results.get(store_key, {}), **fresh)
     # @bf16 (and any run without its own torch phase) diffs against the

@@ -43,6 +43,11 @@ TRAIN_SEED = int(os.environ.get("MVAE_PARITY_SEED", "0"))  # see
 # parity_convergence.py — trajectory seed, data seeds stay fixed
 BF16 = os.environ.get("MVAE_PARITY_BF16") == "1"  # ours-side bf16 mode
 # (see parity_convergence.py; duplicated to avoid a circular import)
+FAST = os.environ.get("MVAE_PARITY_FAST") == "1"  # celeba19
+# --fast-term-decode mode: image-decode forwards skipped for
+# attribute-only terms (losses/grads exact; image-decoder BN running
+# stats see only image-bearing terms). The parity row tests whether that
+# documented statistics divergence moves TRAINED metrics.
 
 
 def compute_dtype():
@@ -544,7 +549,8 @@ def run_ours_celeba19(xtr, atr, xte, ate):
         meta={"model": "celeba19", "n_latents": P["n_latents"]},
         make_masks=make_masks,
         eval_term_masks=eval_masks, eval_term_lambdas=eval_lambdas,
-        recon_support=celeba19_recon_support(P["approx_m"], N_ATTRS))
+        recon_support=celeba19_recon_support(P["approx_m"], N_ATTRS),
+        fast_skip_decode=FAST)
     train_seconds = round(time.time() - t0, 1)
 
     ev = make_eval_step(model, eval_masks, eval_lambdas)
