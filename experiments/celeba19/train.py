@@ -23,7 +23,10 @@ from mvae_tpu.utils.cli import train_parser                      # noqa: E402
 def main(argv=None):
     p = train_parser(
         n_latents=100, epochs=100, annealing_epochs=20, lr=1e-4,
-        lambda_flags=(("lambda-image", 1.0), ("lambda-attrs", 10.0)))
+        lambda_flags=(("lambda-image", 1.0), ("lambda-attrs", 10.0)),
+        # +16% steps/sec; convergence parity identical to f32's gaps
+        # (PARITY_convergence.json celeba19@bf16); --f32 for exact numerics
+        bf16_default=True)
     p.add_argument('--approx-m', type=int, default=1,
                    help='number of sampled ELBO subset terms [default: 1]')
     p.add_argument('--fast-term-decode', action='store_true', default=False,
