@@ -19,7 +19,11 @@ TERM_MASKS = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
 
 def main(argv=None):
     args = train_parser(n_latents=64, epochs=500, annealing_epochs=200,
-                        lr=1e-3).parse_args(argv)
+                        lr=1e-3,
+                        # +26% steps/sec; parity row fashionmnist@bf16
+                        # (0.09-0.9% vs torch, inside the family's measured
+                        # 2.8-4.1% seed spread); --f32 for exact numerics
+                        bf16_default=True).parse_args(argv)
     train_ds = load_mnist(args.data_dir, train=True,
                           variant="FashionMNIST", flatten=False)
     test_ds = load_mnist(args.data_dir, train=False,

@@ -17,7 +17,11 @@ TERM_MASKS = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
 
 def main(argv=None):
     args = train_parser(n_latents=64, epochs=500, annealing_epochs=200,
-                        lr=1e-3).parse_args(argv)
+                        lr=1e-3,
+                        # +14% steps/sec; parity row multimnist@bf16
+                        # (0.45-0.56% vs torch, same order as f32's gaps
+                        # and inside the seed spread); --f32 for exact
+                        bf16_default=True).parse_args(argv)
     train_ds = load_multimnist(args.data_dir, train=True)
     test_ds = load_multimnist(args.data_dir, train=False)
     import jax.numpy as jnp
