@@ -19,8 +19,10 @@ TERM_MASKS = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
 
 
 def main(argv=None):
+    # +6% steps/sec; parity row mnist@bf16 (IWAE-500 within 0.61% of the
+    # torch baseline, inside the torch side's own 6.5% seed spread)
     args = train_parser(n_latents=64, epochs=500, annealing_epochs=200,
-                        lr=1e-3).parse_args(argv)
+                        lr=1e-3, bf16_default=True).parse_args(argv)
     train_ds = load_mnist(args.data_dir, train=True)
     test_ds = load_mnist(args.data_dir, train=False)
     import jax.numpy as jnp
