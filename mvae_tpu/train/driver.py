@@ -50,14 +50,26 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
     resume = getattr(args, "resume", None)
     if resume:
         raw, ck_meta = load_checkpoint(resume)
-        tpl = {"params": params, "state": state, "opt_state": opt_state,
-               "rng": jax.random.key_data(rng)}
-        got = restore_into(tpl, raw)
-        params, state, opt_state = got["params"], got["state"], got["opt_state"]
-        rng = jax.random.wrap_key_data(jnp.asarray(got["rng"]))
-        start_epoch = ck_meta["epoch"] + 1
-        best_loss = ck_meta["best_loss"]
-        print(f"resumed from {resume} at epoch {ck_meta['epoch']}")
+        if "opt_state" in raw:
+            tpl = {"params": params, "state": state, "opt_state": opt_state,
+                   "rng": jax.random.key_data(rng)}
+            got = restore_into(tpl, raw)
+            params, state, opt_state = (got["params"], got["state"],
+                                        got["opt_state"])
+            rng = jax.random.wrap_key_data(jnp.asarray(got["rng"]))
+            start_epoch = ck_meta["epoch"] + 1
+            best_loss = ck_meta["best_loss"]
+            print(f"resumed from {resume} at epoch {ck_meta['epoch']}")
+        else:
+            # params-only checkpoint (e.g. an imported reference .pth.tar —
+            # scripts/import_torch_checkpoint.py): warm-start with a fresh
+            # optimizer/PRNG from epoch 1
+            got = restore_into({"params": params, "state": state},
+                               {"params": raw["params"],
+                                "state": raw["state"]})
+            params, state = got["params"], got["state"]
+            print(f"warm-started from {resume} (params only; "
+                  f"fresh optimizer)")
 
     # Mesh policy: ALL visible devices always participate. The batch axis
     # shards over gcd(n_devices, batch_size) chips; when the batch does not

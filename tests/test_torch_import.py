@@ -520,6 +520,41 @@ def test_vision_import_structure_and_one_modality_forward():
 # ---------------------------------------------------------------------------
 
 
+def test_warm_start_training_from_imported_checkpoint(tmp_path, capsys):
+    """--resume with a params-only imported checkpoint warm-starts the
+    driver (fresh optimizer/PRNG, epoch 1) instead of crashing on the
+    missing opt_state; reference fine-tuning flow mnist/train.py:160-171."""
+    tm = _build_mnist(L)
+    path = tmp_path / "model_best.pth.tar"
+    torch.save({"state_dict": tm.state_dict(), "best_loss": 9.9,
+                "n_latents": L, "optimizer": {}}, str(path))
+    out_path, _meta = import_checkpoint("mnist", str(path), str(tmp_path))
+
+    from experiments.mnist import train as mnist_train
+    from mvae_tpu.data.mnist import synthetic_mnist
+    from mvae_tpu.data.pipeline import ArrayDataset
+
+    def tiny_load(root, train=True, **kw):
+        n = 100 if train else 50
+        imgs, labels = synthetic_mnist(n, seed=0 if train else 1)
+        return ArrayDataset({"image": imgs.reshape(n, 784).astype(np.float32),
+                             "text": labels})
+
+    orig = mnist_train.load_mnist
+    mnist_train.load_mnist = tiny_load
+    try:
+        mnist_train.main(['--epochs', '1', '--batch-size', '50',
+                          '--annealing-epochs', '1', '--n-latents', str(L),
+                          '--out-dir', str(tmp_path / "out"),
+                          '--data-dir', str(tmp_path),
+                          '--resume', out_path])
+    finally:
+        mnist_train.load_mnist = orig
+    out = capsys.readouterr().out
+    assert "warm-started" in out
+    assert "Train Epoch: 1" in out
+
+
 def test_import_checkpoint_file_roundtrip(tmp_path):
     tm = _build_mnist(L)
     path = tmp_path / "model_best.pth.tar"
