@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from mvae_tpu.data.pipeline import ArrayDataset
+from mvae_tpu.data.pipeline import ArrayDataset, warn_synthetic
 
 VALID_PARTITIONS = {'train': 0, 'val': 1, 'test': 2}
 ATTR_TO_IX_DICT = {
@@ -122,6 +122,7 @@ def load_celeba(data_dir='./data', partition='train', *, synthetic_ok=True,
         return ArrayDataset({"image": imgs, "attrs": attrs})
     if not synthetic_ok:
         raise FileNotFoundError(f"no CelebA metadata under {data_dir}")
+    warn_synthetic(f"CelebA[{partition}]", data_dir)
     n = synthetic_n or {"train": 2000, "val": 500, "test": 500}[partition]
     return synthetic_celeba(n, seed=VALID_PARTITIONS[partition])
 

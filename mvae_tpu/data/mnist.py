@@ -17,7 +17,7 @@ import struct
 
 import numpy as np
 
-from mvae_tpu.data.pipeline import ArrayDataset
+from mvae_tpu.data.pipeline import ArrayDataset, warn_synthetic
 
 _FILES = {
     True: ("train-images-idx3-ubyte", "train-labels-idx1-ubyte"),
@@ -51,6 +51,7 @@ def load_mnist(root="./data", train=True, *, variant="MNIST",
         images = _read_idx(ip).astype(np.float32) / 255.0
         labels = _read_idx(lp).astype(np.int32)
     elif synthetic_ok:
+        warn_synthetic(variant, raw)
         images, labels = synthetic_mnist(60000 if train else 10000,
                                          seed=0 if train else 1)
     else:

@@ -206,6 +206,9 @@ def load_multimnist(root="./data", train=True, *, generate_n=None):
     path = os.path.join(root, "multimnist", f"{split}.npz")
     if not os.path.exists(path):
         n_train = generate_n or 2000
+        print(f"[mvae_tpu.data] MultiMNIST: no shards at {path!r} — "
+              f"generating {n_train} train examples now (run "
+              f"experiments/multimnist/datasets.py for the full set)")
         make_dataset(root, n_train=n_train, n_test=max(n_train // 5, 200))
     with np.load(path) as z:
         images = z["images"].astype(np.float32)[..., None] / 255.0

@@ -12,6 +12,13 @@ canonical dataset sizes (60000/10000 % 100 == 0).
 import numpy as np
 
 
+def warn_synthetic(dataset: str, root: str):
+    """One loud line when a loader falls back to synthetic data, so a
+    mistyped --data-dir cannot silently train on the fallback set."""
+    print(f"[mvae_tpu.data] {dataset}: no real data under {root!r} — "
+          f"using the deterministic synthetic fallback")
+
+
 class ArrayDataset:
     """dict of parallel numpy arrays, first axis = examples."""
 
