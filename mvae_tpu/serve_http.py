@@ -94,7 +94,7 @@ class MicroBatcher:
     once, and scatters row slices back to the callers.
     """
 
-    def __init__(self, fns, window_s=0.002, max_batch=256):
+    def __init__(self, fns, window_s=0.002, max_batch=256, pipeline=4):
         self.fns = fns
         self.window_s = window_s
         self.max_batch = max_batch
@@ -104,6 +104,15 @@ class MicroBatcher:
         self.device_calls = 0
         self.batched_requests = 0
         self.batch_sizes = []      # rows per device call (bounded)
+        self._stats_lock = threading.Lock()
+        # successive drained batches run on a small pool so device calls
+        # PIPELINE (dispatch N+1 while N's result is still in flight /
+        # being fetched) instead of serializing on the drain thread —
+        # batching then reduces call count without capping throughput at
+        # 1/per-call-latency
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=max(1, pipeline),
+                                        thread_name_prefix="mb")
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -125,52 +134,55 @@ class MicroBatcher:
             self._stop = True
             self._lock.notify()
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=True)
 
     def _loop(self):
         while True:
             with self._lock:
                 while not self._queues and not self._stop:
                     self._lock.wait()
-                if self._stop:
-                    queues, self._queues = self._queues, {}
-                else:
+                if not self._stop:
                     # collect for one window so concurrent arrivals land
                     # in this drain, then take the whole backlog
                     self._lock.wait(self.window_s)
-                    queues, self._queues = self._queues, {}
+                queues, self._queues = self._queues, {}
+            futures = []
             for (endpoint, names), pend in queues.items():
-                self._run_key(endpoint, names, pend)
-            if self._stop and not self._queues:
+                i = 0
+                while i < len(pend):
+                    group, rows = [], 0
+                    while i < len(pend) and (
+                            not group or rows + pend[i].n <= self.max_batch):
+                        group.append(pend[i])
+                        rows += pend[i].n
+                        i += 1
+                    futures.append(self._pool.submit(
+                        self._run_group, endpoint, names, group, rows))
+            if self._stop:
+                for f in futures:
+                    f.result()
                 return
 
-    def _run_key(self, endpoint, names, pend):
-        fn = self.fns[endpoint]
-        i = 0
-        while i < len(pend):
-            group, rows = [], 0
-            while i < len(pend) and (not group
-                                     or rows + pend[i].n <= self.max_batch):
-                group.append(pend[i])
-                rows += pend[i].n
-                i += 1
-            try:
-                joined = {k: np.concatenate([p.inputs[k] for p in group])
-                          for k in group[0].inputs}
-                out = fn(names, joined)
+    def _run_group(self, endpoint, names, group, rows):
+        try:
+            joined = {k: np.concatenate([p.inputs[k] for p in group])
+                      for k in group[0].inputs}
+            out = self.fns[endpoint](names, joined)
+            with self._stats_lock:
                 self.device_calls += 1
                 self.batched_requests += len(group)
                 if len(self.batch_sizes) < 10000:
                     self.batch_sizes.append(rows)
-                off = 0
-                for p in group:
-                    p.result = _slice_tree(out, off, off + p.n)
-                    off += p.n
-            except Exception as e:          # deliver, don't kill the loop
-                for p in group:
-                    p.error = e
-            finally:
-                for p in group:
-                    p.event.set()
+            off = 0
+            for p in group:
+                p.result = _slice_tree(out, off, off + p.n)
+                off += p.n
+        except Exception as e:              # deliver, don't kill the pool
+            for p in group:
+                p.error = e
+        finally:
+            for p in group:
+                p.event.set()
 
 
 def _slice_tree(out, lo, hi):
@@ -326,7 +338,13 @@ def make_server(app, host="127.0.0.1", port=0):
         def log_message(self, *a):       # quiet by default
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # default accept backlog (5) drops connections under a concurrent
+        # client burst — exactly the traffic micro-batching is for
+        request_queue_size = 128
+        daemon_threads = True
+
+    return Server((host, port), Handler)
 
 
 def main(argv=None):
