@@ -57,14 +57,36 @@ def _pad_rows(x, m):
 
 
 class Sampler:
-    def __init__(self, model, params, state):
+    def __init__(self, model, params, state, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a "data" axis — serving
+        then runs the SAME jitted endpoints multi-chip: params/state are
+        replicated, request batches shard over "data" (GSPMD inserts the
+        collectives), and batch buckets round up to a multiple of the dp
+        size so every chip holds equal rows. Values are identical to
+        single-device serving (tested on the virtual 8-device mesh)."""
         self.model = model
+        self.mesh = mesh
+        self._dp = 1
+        self._data_sharding = None
+        if mesh is not None:
+            from mvae_tpu.parallel.mesh import batch_sharding, replicated
+            self._dp = int(mesh.shape["data"])
+            self._data_sharding = batch_sharding(mesh)
+            rep = replicated(mesh)
+            params = jax.device_put(params, rep)
+            state = jax.device_put(state, rep)
         self.params = params
         self.state = state
 
+        def _constrain(z):
+            if self._data_sharding is not None:
+                return jax.lax.with_sharding_constraint(
+                    z, self._data_sharding)
+            return z
+
         @functools.partial(jax.jit, static_argnames=("n",))
         def _sample_prior(key, n):
-            z = jax.random.normal(key, (n, model.n_latents))
+            z = _constrain(jax.random.normal(key, (n, model.n_latents)))
             recons, _ = model.decode(params, state, z, None, False)
             return _activate(recons)
 
@@ -73,7 +95,8 @@ class Sampler:
             cond = dict(zip(names, values))
             mu, logvar = model.infer(params, state, cond)
             std = jnp.exp(0.5 * logvar[0])
-            z = mu[0] + jax.random.normal(key, (n, model.n_latents)) * std
+            z = _constrain(mu[0] + jax.random.normal(
+                key, (n, model.n_latents)) * std)
             recons, _ = model.decode(params, state, z, None, False)
             return _activate(recons)
 
@@ -101,13 +124,27 @@ class Sampler:
         self._activate = _activate
 
     @classmethod
-    def from_checkpoint(cls, path, model_ctor, cache_dir=None):
+    def from_checkpoint(cls, path, model_ctor, cache_dir=None, mesh=None):
         """cache_dir: optional persistent-compilation-cache directory —
         restarts skip recompilation (enable_compilation_cache)."""
         if cache_dir is not None:
             enable_compilation_cache(cache_dir)
         model, params, state, _ = load_model_checkpoint(path, model_ctor)
-        return cls(model, params, state)
+        return cls(model, params, state, mesh=mesh)
+
+    def _bucket_m(self, n: int) -> int:
+        """Batch bucket: next power of two, rounded up to a multiple of
+        the data-parallel mesh size (equal rows per chip)."""
+        m = _bucket(n)
+        if self._dp > 1:
+            m = -(-m // self._dp) * self._dp
+        return m
+
+    def _place(self, x):
+        """Shard a padded request batch over the mesh's data axis."""
+        if self._data_sharding is not None:
+            return jax.device_put(x, self._data_sharding)
+        return x
 
     def warmup(self, buckets=(1, 64), conditions=None):
         """Compile the endpoints BEFORE traffic arrives: for each batch
@@ -138,7 +175,7 @@ class Sampler:
         next power of two: one compiled graph serves all sizes in [m/2+1, m].
         """
         key = jax.random.key(seed)
-        m = _bucket(n)
+        m = self._bucket_m(n)
         if not condition:
             out = self._sample_prior(key, m)
         else:
@@ -153,8 +190,9 @@ class Sampler:
         names = tuple(sorted(inputs))
         vals = [jnp.asarray(inputs[k]) for k in names]
         n = vals[0].shape[0]
-        m = _bucket(n)
-        mu, logvar = self._embed(names, *(_pad_rows(v, m) for v in vals))
+        m = self._bucket_m(n)
+        mu, logvar = self._embed(
+            names, *(self._place(_pad_rows(v, m)) for v in vals))
         return mu[:n], logvar[:n]
 
     def reconstruct(self, inputs: dict):
@@ -163,6 +201,7 @@ class Sampler:
         names = tuple(sorted(inputs))
         vals = [jnp.asarray(inputs[k]) for k in names]
         n = vals[0].shape[0]
-        m = _bucket(n)
-        out = self._reconstruct(names, *(_pad_rows(v, m) for v in vals))
+        m = self._bucket_m(n)
+        out = self._reconstruct(
+            names, *(self._place(_pad_rows(v, m)) for v in vals))
         return {k: v[:n] for k, v in out.items()}

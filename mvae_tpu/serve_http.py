@@ -29,8 +29,10 @@ model servers); a lone request pays at most the window. `/sample` calls
 are served directly: their cost is dominated by decode and conditions
 rarely coincide.
 
-Single-host by design — multi-chip serving shards the same jitted
-endpoints over a mesh (parallel/mesh.py); the HTTP layer is unchanged.
+Multi-chip: `--dp N` serves over an N-device data-parallel mesh — the
+same jitted endpoints with params replicated and request batches
+sharded over "data" (`Sampler(mesh=...)`, values equal to single-device,
+tested on the virtual 8-device mesh); the HTTP layer is unchanged.
 """
 
 import argparse
@@ -363,10 +365,19 @@ def main(argv=None):
                     help="skip precompiling endpoint graphs at startup")
     ap.add_argument("--cache-dir", default=None,
                     help="persistent compilation cache directory")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="serve over the first N devices (data-parallel "
+                         "mesh; batch buckets round up to a multiple of N)")
     ns = ap.parse_args(argv)
 
+    mesh = None
+    if ns.dp > 1:
+        from mvae_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(ns.dp)
+        print(f"serving over a {ns.dp}-device data-parallel mesh",
+              flush=True)
     sampler = Sampler.from_checkpoint(ns.checkpoint, model_ctor(ns.family),
-                                      cache_dir=ns.cache_dir)
+                                      cache_dir=ns.cache_dir, mesh=mesh)
     if not ns.no_warmup:
         t = time.time()
         print("warming up endpoint graphs ...", flush=True)
