@@ -124,6 +124,8 @@ class MicroBatcher:
         n = next(iter(inputs.values())).shape[0]
         p = _Pending(inputs, n)
         with self._lock:
+            if self._stop:
+                raise RuntimeError("MicroBatcher is closed")
             self._queues.setdefault((endpoint, names), []).append(p)
             self._lock.notify()
         p.event.wait()

@@ -195,6 +195,9 @@ def test_microbatcher_max_batch_and_errors():
         np.testing.assert_array_equal(out["y"], np.full((1, 2), 2.0))
     finally:
         b.close()
+    # submit after close fails fast instead of hanging forever
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit("f", ("x",), {"x": np.ones((1, 2), np.float32)})
 
 
 def test_http_roundtrip(sampler):
