@@ -105,7 +105,7 @@ FAMILIES = {
 }
 
 
-def bench_family(name, k, reps=3, dtype=None):
+def bench_family(name, k, reps=3, dtype=None, want_flops=False):
     rng = np.random.default_rng(0)
     model, data, masks, lambdas, opts = FAMILIES[name](rng, dtype)
     B = opts.get("batch", 100)
@@ -142,8 +142,24 @@ def bench_family(name, k, reps=3, dtype=None):
         times.append((time.perf_counter() - t0) / k)
     ms = np.asarray(times) * 1e3
     tag = "bf16" if dtype is not None else "f32"
-    print(f"{name:13s} {tag:4s} B={B:3d}: {ms.mean():8.3f} +- {ms.std():.3f} ms/step "
-          f"({1e3 / ms.mean():7.1f} steps/sec)", flush=True)
+    line = (f"{name:13s} {tag:4s} B={B:3d}: {ms.mean():8.3f} "
+            f"+- {ms.std():.3f} ms/step ({1e3 / ms.mean():7.1f} steps/sec)")
+    if want_flops:
+        try:
+            # XLA cost analysis counts a lax.scan body ONCE regardless of
+            # trip count, so lower the SAME window at K=1: its count is
+            # exactly one optimizer step (plus negligible prologue)
+            extra1 = tuple(e[:1] for e in extra)
+            cost = (multi.lower(params, state, opt_state, jax.random.key(6),
+                                data, idxs[:1], betas[:1], *extra1)
+                    .compile().cost_analysis())
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            gflops = float(cost["flops"]) / 1e9
+            tf = gflops / ms.mean()       # GFLOP / ms == TFLOPs
+            line += f"   {gflops:7.1f} GFLOP/step  {tf:6.2f} TFLOPs sustained"
+        except Exception as e:            # cost analysis is best-effort
+            line += f"   [flops unavailable: {type(e).__name__}]"
+    print(line, flush=True)
 
 
 def main():
@@ -153,10 +169,14 @@ def main():
                     default=",".join(FAMILIES))
     ap.add_argument("--bf16", action="store_true",
                     help="compute in bfloat16 (params/losses stay f32)")
+    ap.add_argument("--flops", action="store_true",
+                    help="also report XLA-counted GFLOP/step and "
+                         "sustained TFLOPs")
     ns = ap.parse_args()
     for name in ns.families.split(","):
         bench_family(name, ns.k,
-                     dtype=jnp.bfloat16 if ns.bf16 else None)
+                     dtype=jnp.bfloat16 if ns.bf16 else None,
+                     want_flops=ns.flops)
 
 
 if __name__ == "__main__":
