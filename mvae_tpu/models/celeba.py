@@ -22,7 +22,7 @@ from mvae_tpu.nn.dcgan import (
     head_init, head_apply)
 from mvae_tpu.nn.initializers import linear_init
 from mvae_tpu.nn.layers import linear, swish
-from mvae_tpu.nn.norm import batchnorm_init, batchnorm_apply
+from mvae_tpu.nn.norm import batchnorm_init, batchnorm_swish_apply
 from mvae_tpu.core.losses import bce_row_sum
 
 ENC_SPECS = [(32, 4, 2, 1, False), (64, 4, 2, 1, True),
@@ -49,9 +49,8 @@ def _mlp_bn_apply(params, state, x, *, train):
     new_state = []
     for p, st in zip(params["blocks"], state):
         x = linear(p["fc"], x)
-        x, st = batchnorm_apply(p["bn"], st, x, train=train)
+        x, st = batchnorm_swish_apply(p["bn"], st, x, train=train)
         new_state.append(st)
-        x = swish(x)
     return linear(params["head"], x), new_state
 
 

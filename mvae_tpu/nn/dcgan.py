@@ -21,7 +21,7 @@ from mvae_tpu.nn.conv import conv2d, conv_transpose2d
 from mvae_tpu.nn.initializers import (
     conv_init, conv_transpose_init, linear_init)
 from mvae_tpu.nn.layers import linear, swish, dropout
-from mvae_tpu.nn.norm import batchnorm_init, batchnorm_apply
+from mvae_tpu.nn.norm import batchnorm_init, batchnorm_swish_apply
 
 # spec row: (c_out, kernel, stride, pad, use_bn)
 
@@ -62,11 +62,10 @@ def conv_stack_apply(params, state, specs, x, *, train, dtype=None):
     for p, st, (_c, kern, s, pad, bn) in zip(params, state, specs):
         x = conv2d(_cast(p["conv"], dtype), x, stride=s, padding=pad)
         if bn:
-            y, st = batchnorm_apply(p["bn"], st, x.astype(jnp.float32),
-                                    train=train)
-            x = y.astype(dtype) if dtype is not None else y
+            x, st = batchnorm_swish_apply(p["bn"], st, x, train=train)
+        else:
+            x = swish(x)
         new_state.append(st)
-        x = swish(x)
     return x, new_state
 
 
@@ -93,13 +92,11 @@ def deconv_stack_apply(params, state, specs, x, *, train, dtype=None):
     for i, (p, st, (_c, kern, s, pad, bn)) in enumerate(
             zip(params, state, specs)):
         x = conv_transpose2d(_cast(p["conv"], dtype), x, stride=s, padding=pad)
-        if bn:
-            y, st = batchnorm_apply(p["bn"], st, x.astype(jnp.float32),
-                                    train=train)
-            x = y.astype(dtype) if dtype is not None else y
-        new_state.append(st)
-        if i != last:
+        if bn:                      # every BN'd deconv layer feeds a swish
+            x, st = batchnorm_swish_apply(p["bn"], st, x, train=train)
+        elif i != last:
             x = swish(x)
+        new_state.append(st)
     return x.astype(jnp.float32), new_state
 
 

@@ -13,12 +13,24 @@ computed per-term (matching the reference's one-forward-per-term behavior);
 the caller averages the per-term new states before committing the EMA update.
 """
 
+import os
+
 import jax.numpy as jnp
 
 # torch default momentum; the engine's exact sequential-EMA composition
 # (core/engine.py:commit_ema_states) assumes every BN in the framework
 # uses this value
 BN_MOMENTUM = 0.1
+
+# Batch-moment algorithm. "one_pass" computes var = E[x^2] - E[x]^2 so XLA
+# fuses BOTH channel reductions into a single read of the activation;
+# "two_pass" is the textbook mean(square(x - mean)) (what eager torch CPU
+# computes), costing one extra full pass over every BN input per step.
+# The forms are algebraically identical (and share one backward formula);
+# numerically they differ at the f32 rounding floor — golden-transplant
+# tests pin two_pass, production steps default to one_pass (measured
+# whole-step win on v5e-1; see BASELINE.md).
+_ONE_PASS_DEFAULT = os.environ.get("MVAE_BN_TWO_PASS") != "1"
 
 
 def batchnorm_init(c: int, dtype=jnp.float32):
@@ -28,15 +40,24 @@ def batchnorm_init(c: int, dtype=jnp.float32):
 
 
 def batchnorm_apply(params, state, x, *, train: bool,
-                    momentum: float = BN_MOMENTUM, eps: float = 1e-5):
+                    momentum: float = BN_MOMENTUM, eps: float = 1e-5,
+                    one_pass: bool | None = None):
     """x: (..., C); normalizes over all leading axes."""
+    if one_pass is None:
+        one_pass = _ONE_PASS_DEFAULT
     if train:
         axes = tuple(range(x.ndim - 1))
         n = 1
         for a in axes:
             n *= x.shape[a]
         mean = jnp.mean(x, axis=axes)
-        var = jnp.mean(jnp.square(x - mean), axis=axes)  # biased, for norm
+        if one_pass:
+            # single read: both reductions fuse over the same pass of x;
+            # clamp the cancellation residue (var >= 0 analytically)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean), 0.0)
+        else:
+            var = jnp.mean(jnp.square(x - mean), axis=axes)  # biased
         # unbiased variance feeds the running estimate (torch behavior)
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
@@ -49,3 +70,35 @@ def batchnorm_apply(params, state, x, *, train: bool,
     inv = jnp.reciprocal(jnp.sqrt(var + eps))
     y = (x - mean) * inv * params["scale"] + params["bias"]
     return y, new_state
+
+
+def batchnorm_swish_apply(params, state, x, *, train: bool,
+                          momentum: float = BN_MOMENTUM, eps: float = 1e-5,
+                          out_dtype=None):
+    """BN followed by swish — the universal pairing in the reference nets
+    (every BatchNorm there feeds a Swish, e.g. celeba/model.py:80-91).
+
+    x may be in the compute dtype (bf16); BN math runs in f32 and the
+    result is returned in out_dtype (default: x's dtype). With
+    MVAE_PALLAS_BN=1 the train-mode path runs the fused Pallas kernel
+    (ops/bn_pallas.py) — one read for both moments, normalize+swish in a
+    second, no materialized intermediates; EMA semantics identical.
+    """
+    from mvae_tpu.nn.layers import swish
+    if out_dtype is None:
+        out_dtype = x.dtype
+    if train:
+        from mvae_tpu.ops.bn_pallas import bn_swish_train, use_pallas_bn
+        if use_pallas_bn():
+            y, mean, var = bn_swish_train(x, params["scale"], params["bias"],
+                                          eps)
+            n = x.size // x.shape[-1]
+            unbiased = var * (n / max(n - 1, 1))
+            new_state = {
+                "mean": (1 - momentum) * state["mean"] + momentum * mean,
+                "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            }
+            return y.astype(out_dtype), new_state
+    y, new_state = batchnorm_apply(params, state, x.astype(jnp.float32),
+                                   train=train, momentum=momentum, eps=eps)
+    return swish(y.astype(out_dtype)), new_state

@@ -1,0 +1,54 @@
+"""A/B/C the BatchNorm implementations on the production step (real TPU).
+
+Modes, per family and dtype:
+  two_pass — var = mean(square(x - mean)): the round-2 baseline (one extra
+             full read of every BN input per step)
+  one_pass — var = E[x^2] - E[x]^2 fused into a single read (nn/norm.py
+             default since round 3)
+  pallas   — fused BN+swish kernels, fwd + custom VJP (ops/bn_pallas.py)
+
+Usage:  python scripts/bn_perf_matrix.py [--families celeba,...] [--k 100]
+        [--modes two_pass,one_pass,pallas] [--f32] [--bf16]
+Rows feed BASELINE.md's BN-fusion section by hand.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp                                        # noqa: E402
+
+import mvae_tpu.nn.norm as norm                                # noqa: E402
+from scripts.bench_families import bench_family                # noqa: E402
+
+
+def set_mode(mode: str) -> None:
+    norm._ONE_PASS_DEFAULT = mode != "two_pass"
+    os.environ["MVAE_PALLAS_BN"] = "1" if mode == "pallas" else "0"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="celeba")
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--modes", default="two_pass,one_pass,pallas")
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
+    ns = ap.parse_args()
+    dtypes = []
+    if ns.f32 or not ns.bf16:
+        dtypes.append(None)
+    if ns.bf16 or not ns.f32:
+        dtypes.append(jnp.bfloat16)
+    for fam in ns.families.split(","):
+        for dtype in dtypes:
+            for mode in ns.modes.split(","):
+                set_mode(mode)
+                print(f"[{mode:8s}] ", end="", flush=True)
+                bench_family(fam, ns.k, dtype=dtype)
+
+
+if __name__ == "__main__":
+    main()
