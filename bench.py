@@ -221,7 +221,16 @@ def measure_torch_baseline(iters=8):
 
 def main():
     baseline = measure_torch_baseline()
-    rates, flops_per_step = measure_ours()
+    # the tunneled backend occasionally drops a dispatch with a transient
+    # FAILED_PRECONDITION (BASELINE.md); retry the whole measurement
+    for attempt in range(3):
+        try:
+            rates, flops_per_step = measure_ours()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(30)
     mean = sum(rates) / len(rates)
     sd = (sum((r - mean) ** 2 for r in rates) / len(rates)) ** 0.5
     out = {

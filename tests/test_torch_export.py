@@ -1,0 +1,79 @@
+"""Checkpoint export (ours -> reference .pth.tar): round-trip identity with
+the importer for all six families, plus the file-level CLI contract."""
+
+import numpy as np
+import pytest
+import jax
+
+from mvae_tpu.models import model_ctor
+from mvae_tpu.utils.torch_export import export_state_dict, export_checkpoint
+from mvae_tpu.utils.torch_import import import_state_dict
+
+FAMILY_LATENTS = {"mnist": 8, "fashionmnist": 8, "multimnist": 8,
+                  "celeba": 12, "celeba19": 12, "vision": 12}
+
+
+def _assert_tree_equal(a, b, path=""):
+    la, lb = (jax.tree_util.tree_flatten_with_path(a),
+              jax.tree_util.tree_flatten_with_path(b))
+    assert la[1] == lb[1], f"tree structure mismatch at {path}"
+    for (ka, va), (_, vb) in zip(la[0], lb[0]):
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(vb),
+            err_msg=f"leaf {jax.tree_util.keystr(ka)}")
+
+
+@pytest.mark.parametrize("family", sorted(FAMILY_LATENTS))
+def test_export_import_roundtrip_bit_identical(family):
+    model = model_ctor(family)(FAMILY_LATENTS[family])
+    params, state = model.init(jax.random.key(0))
+    sd = export_state_dict(family, params, state)
+    # every exported array is a plain numpy f32/i64 (torch.save-able)
+    for k, v in sd.items():
+        assert isinstance(v, np.ndarray), k
+    p2, s2 = import_state_dict(family, sd, FAMILY_LATENTS[family])
+    _assert_tree_equal(params, jax.tree_util.tree_map(np.asarray, p2))
+    # BN-less families import empty per-layer state dicts; compare only
+    # the leaves (values) plus structure via the same flatten
+    _assert_tree_equal(state, jax.tree_util.tree_map(np.asarray, s2))
+
+
+def test_export_checkpoint_file_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from mvae_tpu.train.checkpoint import save_checkpoint
+    family = "celeba"
+    model = model_ctor(family)(FAMILY_LATENTS[family])
+    params, state = model.init(jax.random.key(1))
+    save_checkpoint({"params": params, "state": state},
+                    {"model": family, "n_latents": FAMILY_LATENTS[family],
+                     "best_loss": 123.5},
+                    is_best=True, folder=str(tmp_path))
+    out, meta = export_checkpoint(
+        family, str(tmp_path / "model_best.msgpack"),
+        str(tmp_path / "model_best.pth.tar"))
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    assert ckpt["n_latents"] == FAMILY_LATENTS[family]
+    assert ckpt["best_loss"] == 123.5
+    assert all(isinstance(v, torch.Tensor)
+               for v in ckpt["state_dict"].values())
+    # and the reference-side importer reads the file straight back
+    from mvae_tpu.utils.torch_import import load_reference_checkpoint
+    sd, ref_meta = load_reference_checkpoint(out)
+    p2, s2 = import_state_dict(family, sd, FAMILY_LATENTS[family])
+    _assert_tree_equal(params, jax.tree_util.tree_map(np.asarray, p2))
+    _assert_tree_equal(state, jax.tree_util.tree_map(np.asarray, s2))
+
+
+def test_export_cli(tmp_path, capsys):
+    pytest.importorskip("torch")
+    from mvae_tpu.train.checkpoint import save_checkpoint
+    from scripts.export_torch_checkpoint import main
+    model = model_ctor("mnist")(8)
+    params, state = model.init(jax.random.key(2))
+    save_checkpoint({"params": params, "state": state},
+                    {"model": "mnist", "n_latents": 8},
+                    is_best=True, folder=str(tmp_path))
+    main([str(tmp_path / "model_best.msgpack"), "--family", "mnist"])
+    out = capsys.readouterr().out
+    assert "exported" in out
+    assert (tmp_path / "model_best.pth.tar").exists()
