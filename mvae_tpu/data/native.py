@@ -17,6 +17,8 @@ _lib = None
 
 
 def _build():
+    if not os.path.isdir(_NATIVE_DIR):     # pip-installed (no checkout):
+        raise FileNotFoundError(_NATIVE_DIR)   # quiet numpy-fallback path
     subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True)
 
 
