@@ -106,3 +106,41 @@ def test_bigru_last_step_matches_torch():
     last = out[-1].detach().numpy()       # (B, 2H)
     np.testing.assert_allclose(np.asarray(h_f), last[:, :H], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_b), last[:, H:], rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_one_pass_vs_two_pass():
+    """The one-pass (E[x^2]-E[x]^2) default and the textbook two-pass form
+    agree to f32 rounding on realistic data; on a constant channel the
+    clamp keeps var at exactly 0 (matching two-pass and torch)."""
+    rng = np.random.default_rng(7)
+    c = 32
+    x = rng.normal(3.0, 2.0, size=(16, 5, 5, c)).astype(np.float32)
+    x[..., 0] = 1.234                        # constant channel
+    params, state = batchnorm_init(c)
+    y1, s1 = batchnorm_apply(params, state, jnp.asarray(x), train=True,
+                             one_pass=True)
+    y2, s2 = batchnorm_apply(params, state, jnp.asarray(x), train=True,
+                             one_pass=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1["var"]), np.asarray(s2["var"]),
+                               rtol=1e-4, atol=1e-5)
+    # constant channel: var clamps to ~0, output ~0 (bias), finite always
+    assert np.isfinite(np.asarray(y1)).all()
+    assert abs(float(s1["var"][0]) - 0.9) < 1e-3   # EMA: 0.9*1.0 + 0.1*~0
+
+
+def test_batchnorm_two_pass_env_switch(monkeypatch):
+    """MVAE_BN_TWO_PASS=1 restores the textbook moments as the default."""
+    import importlib
+    import mvae_tpu.nn.norm as norm
+    monkeypatch.setenv("MVAE_BN_TWO_PASS", "1")
+    importlib.reload(norm)
+    try:
+        assert norm._ONE_PASS_DEFAULT is False
+        monkeypatch.delenv("MVAE_BN_TWO_PASS")
+        importlib.reload(norm)
+        assert norm._ONE_PASS_DEFAULT is True
+    finally:
+        monkeypatch.undo()
+        importlib.reload(norm)
