@@ -25,8 +25,10 @@ EXACT sequential-EMA composition the reference produces (one commit per
 term in term order for decoders, one commit per term-where-present for
 encoders): each vmapped per-term state is affine in that term's batch
 moments, so the T sequential updates fold into a closed form
-(commit_ema_states). Verified bit-level against torch in
-tests/test_golden_parity_conv.py.
+(commit_ema_states). Verified against torch's sequential commits at f32
+tolerance in tests/test_golden_parity_conv.py (the one-pass batch-moment
+default, nn/norm.py, differs from torch's two-pass at the f32 rounding
+floor; MVAE_BN_TWO_PASS=1 restores the textbook form).
 """
 
 import jax

@@ -9,6 +9,7 @@ import os
 
 from mvae_tpu.ops.poe_pallas import masked_poe_all_terms
 from mvae_tpu.ops.elbo_pallas import bce_sum
+from mvae_tpu.ops.bn_pallas import bn_swish_train
 
 
 def use_pallas() -> bool:
