@@ -43,11 +43,16 @@ def bce_row_sum(logits, targets):
     import os
     import jax
     if (os.environ.get("MVAE_PALLAS") == "1"
-            and len(jax.devices()) == 1 and logits.ndim == 2):
+            and len(jax.devices()) == 1 and logits.ndim == 2
+            and logits.dtype == jnp.float32):    # kernel is f32-only
         from mvae_tpu import ops
         return ops.bce_sum(logits, targets)
+    # f32 math regardless of logits dtype: with MVAE_BF16_LOGITS=1 the
+    # decoders emit bf16 logits (half the HBM bytes for the largest
+    # activation) and the cast fuses into this read — but the 12288-wide
+    # row sums must still accumulate in f32
     return jnp.sum(binary_cross_entropy_with_logits(
-        logits, targets.astype(logits.dtype)), axis=-1)
+        logits.astype(jnp.float32), targets.astype(jnp.float32)), axis=-1)
 
 
 def kl_divergence(mu, logvar):

@@ -97,7 +97,18 @@ def deconv_stack_apply(params, state, specs, x, *, train, dtype=None):
         elif i != last:
             x = swish(x)
         new_state.append(st)
+    if train and dtype is not None and _bf16_logits():
+        return x, new_state          # bf16 logits; losses accumulate f32
     return x.astype(jnp.float32), new_state
+
+
+def _bf16_logits() -> bool:
+    """Opt-in experiment (MVAE_BF16_LOGITS=1): keep TRAIN-mode decoder
+    logits in the compute dtype instead of materializing them f32 — halves
+    the write+read HBM bytes of the step's largest activation (the
+    (T, B, 64, 64, C) recon logits). Eval/sampling always emit f32."""
+    import os
+    return os.environ.get("MVAE_BF16_LOGITS") == "1"
 
 
 def head_init(key, d_in, n_latents, *, hidden=512):
