@@ -25,8 +25,11 @@ from scripts.bench_families import bench_family                # noqa: E402
 
 
 def set_mode(mode: str) -> None:
+    """two_pass | one_pass | pallas | bf16_logits (one-pass BN + bf16
+    train-mode logits, meaningful with a bf16 dtype only)."""
     norm._ONE_PASS_DEFAULT = mode != "two_pass"
     os.environ["MVAE_PALLAS_BN"] = "1" if mode == "pallas" else "0"
+    os.environ["MVAE_BF16_LOGITS"] = "1" if mode == "bf16_logits" else "0"
 
 
 def main():
@@ -42,12 +45,21 @@ def main():
         dtypes.append(None)
     if ns.bf16 or not ns.f32:
         dtypes.append(jnp.bfloat16)
+    import time
     for fam in ns.families.split(","):
         for dtype in dtypes:
             for mode in ns.modes.split(","):
                 set_mode(mode)
                 print(f"[{mode:8s}] ", end="", flush=True)
-                bench_family(fam, ns.k, dtype=dtype)
+                for attempt in range(3):   # tunnel drops are transient
+                    try:
+                        bench_family(fam, ns.k, dtype=dtype)
+                        break
+                    except Exception as e:
+                        print(f"  retry ({type(e).__name__})", flush=True)
+                        if attempt == 2:
+                            raise
+                        time.sleep(20)
 
 
 if __name__ == "__main__":
