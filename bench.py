@@ -227,9 +227,14 @@ def main():
         try:
             rates, flops_per_step = measure_ours()
             break
-        except Exception:
+        except Exception as e:
+            import sys
+            import traceback
+            print(f"measure_ours attempt {attempt + 1} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
             if attempt == 2:
                 raise
+            traceback.print_exc(file=sys.stderr)
             time.sleep(30)
     mean = sum(rates) / len(rates)
     sd = (sum((r - mean) ** 2 for r in rates) / len(rates)) ** 0.5

@@ -70,6 +70,12 @@ def conv_stack_apply(params, state, specs, x, *, train, dtype=None):
 
 
 def deconv_stack_init(key, c_in, specs):
+    # the apply pairs every BN with a swish; a BN'd FINAL (logits) layer
+    # would get swished too, silently constraining the logits — no current
+    # family does this (all DEC_SPECS end bn=False); reject it loudly
+    if specs and specs[-1][4]:
+        raise ValueError("deconv_stack: final (logits) layer must not use "
+                         "BN — BN here is always fused with swish")
     params, state = [], []
     keys = jax.random.split(key, len(specs))
     for k, (c_out, kern, _s, _p, bn) in zip(keys, specs):

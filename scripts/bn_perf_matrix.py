@@ -20,14 +20,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax.numpy as jnp                                        # noqa: E402
 
-import mvae_tpu.nn.norm as norm                                # noqa: E402
 from scripts.bench_families import bench_family                # noqa: E402
 
 
 def set_mode(mode: str) -> None:
     """two_pass | one_pass | pallas | bf16_logits (one-pass BN + bf16
-    train-mode logits, meaningful with a bf16 dtype only)."""
-    norm._ONE_PASS_DEFAULT = mode != "two_pass"
+    train-mode logits, meaningful with a bf16 dtype only). All three
+    switches are the public env vars, read at trace time."""
+    os.environ["MVAE_BN_TWO_PASS"] = "1" if mode == "two_pass" else "0"
     os.environ["MVAE_PALLAS_BN"] = "1" if mode == "pallas" else "0"
     os.environ["MVAE_BF16_LOGITS"] = "1" if mode == "bf16_logits" else "0"
 

@@ -131,16 +131,20 @@ def test_batchnorm_one_pass_vs_two_pass():
 
 
 def test_batchnorm_two_pass_env_switch(monkeypatch):
-    """MVAE_BN_TWO_PASS=1 restores the textbook moments as the default."""
-    import importlib
+    """MVAE_BN_TWO_PASS=1 restores the textbook moments as the default
+    (read lazily at trace time, no reimport needed), and wins over
+    MVAE_PALLAS_BN=1 — the Pallas kernel hard-codes one-pass moments, so
+    the escape hatch must route around it."""
     import mvae_tpu.nn.norm as norm
     monkeypatch.setenv("MVAE_BN_TWO_PASS", "1")
-    importlib.reload(norm)
-    try:
-        assert norm._ONE_PASS_DEFAULT is False
-        monkeypatch.delenv("MVAE_BN_TWO_PASS")
-        importlib.reload(norm)
-        assert norm._ONE_PASS_DEFAULT is True
-    finally:
-        monkeypatch.undo()
-        importlib.reload(norm)
+    assert norm._one_pass_default() is False
+    monkeypatch.setenv("MVAE_PALLAS_BN", "1")
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 1, (8, 4, 4, 32)), jnp.float32)
+    params, state = batchnorm_init(32)
+    y_both, _ = norm.batchnorm_swish_apply(params, state, x, train=True)
+    monkeypatch.delenv("MVAE_PALLAS_BN")
+    y_two, _ = norm.batchnorm_swish_apply(params, state, x, train=True)
+    np.testing.assert_array_equal(np.asarray(y_both), np.asarray(y_two))
+    monkeypatch.delenv("MVAE_BN_TWO_PASS")
+    assert norm._one_pass_default() is True

@@ -77,3 +77,54 @@ def test_export_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "exported" in out
     assert (tmp_path / "model_best.pth.tar").exists()
+
+
+def _torch_sd(family):
+    """Reference-layout torch state_dicts from the import-test builders."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    from tests.test_torch_import import (
+        L as TL, _sd, _build_mnist, _build_celeba, _build_fashionmnist,
+        _build_multimnist, _build_celeba19, _randomize_bn,
+        _dcgan_image_encoder, _dcgan_image_decoder)
+    rng = np.random.default_rng(17)
+    if family == "mnist":
+        tm = _build_mnist(TL)
+    elif family == "celeba":
+        tm = _build_celeba(TL)
+    elif family == "fashionmnist":
+        tm = _build_fashionmnist(TL)
+    elif family == "multimnist":
+        from mvae_tpu.data.text import N_CHARACTERS
+        tm = _build_multimnist(TL, N_CHARACTERS, 200)
+    elif family == "celeba19":
+        tm = _build_celeba19(TL)
+    else:
+        from mvae_tpu.models.vision import MODALITIES, CHANNELS
+        tm = nn.Module()
+        for m in MODALITIES:
+            setattr(tm, f"{m}_encoder",
+                    _dcgan_image_encoder(CHANNELS[m], 1, 5, TL))
+            setattr(tm, f"{m}_decoder",
+                    _dcgan_image_decoder(CHANNELS[m], 1, 5, TL))
+    _randomize_bn(tm, rng)
+    return _sd(tm), TL
+
+
+@pytest.mark.parametrize("family", sorted(FAMILY_LATENTS))
+def test_reverse_roundtrip_torch_weights_bit_identical(family):
+    """export(import(torch_sd)) reproduces every reference key and value
+    bit-for-bit — the direction that guards a strict modern-torch
+    load_state_dict on exported files."""
+    sd, tl = _torch_sd(family)
+    params, state = import_state_dict(family, sd, tl)
+    sd2 = export_state_dict(family, params, state)
+    extra = {k for k in sd2 if k not in sd}
+    missing = {k for k in sd if k not in sd2}
+    # torch-0.3-era reference modules lack num_batches_tracked; we emit it
+    assert all(k.endswith("num_batches_tracked") for k in extra), extra
+    assert not missing, missing
+    for k in sd:
+        np.testing.assert_array_equal(
+            np.asarray(sd2[k], np.float32), np.asarray(sd[k], np.float32),
+            err_msg=k)
