@@ -17,6 +17,14 @@ Axes:
 
 Everything is plain `jax.jit` + NamedSharding: semantics are identical to
 single-device execution (tested on the 8-virtual-device CPU mesh).
+
+Deliberately absent at this model scale (all families < 25M params):
+optimizer-state sharding (ZeRO-style reduce_scatter/all_gather rounds) and
+activation rematerialization (`jax.checkpoint`) — full replication of
+params+adam state is < 300 MB against 16 GB HBM/chip, so sharding them
+would add collective latency for no memory relief. TP params already
+shard where the mesh has a "model" axis (shard_params_tp), and adam's
+moments inherit those shardings (train/driver.py).
 """
 
 import re
