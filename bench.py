@@ -219,7 +219,38 @@ def measure_torch_baseline(iters=8):
     return result
 
 
+def wait_for_backend(probe_timeout=180, attempts=6, sleep_s=120):
+    """Bounded TPU-reachability gate. The tunneled axon backend can die
+    outright (relay process gone — observed mid-round-3); jax backend init
+    then blocks forever with no timeout, which would hang this benchmark
+    (and the round driver invoking it) indefinitely. Probe in a SUBPROCESS
+    (backend init happens at jax import; a hung init can't be cancelled
+    in-process) and retry for ~15 min before failing loudly."""
+    import subprocess
+    import sys
+    probe = ("import jax, jax.numpy as jnp\n"
+             "x = jnp.ones((128, 128))\n"
+             "print(float((x @ x).sum()))\n")
+    for attempt in range(attempts):
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=probe_timeout, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(f"backend probe {attempt + 1}/{attempts} failed "
+                  f"({type(e).__name__}); retrying in {sleep_s}s",
+                  file=sys.stderr, flush=True)
+            if attempt + 1 < attempts:
+                time.sleep(sleep_s)
+    raise SystemExit(
+        "TPU backend unreachable: every reachability probe timed out or "
+        "died. No measurement is possible (refusing to hang or to print a "
+        "stale number); restore the tunnel and re-run bench.py.")
+
+
 def main():
+    wait_for_backend()
     baseline = measure_torch_baseline()
     # the tunneled backend occasionally drops a dispatch with a transient
     # FAILED_PRECONDITION (BASELINE.md); retry the whole measurement

@@ -12,6 +12,8 @@ syntax error and train.py undefined names; SURVEY.md §2.6. This implements
 the evident intent.)
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +29,28 @@ N_MODALITIES = 6
 MODALITIES = ("image", "gray", "edge", "mask", "obscured", "watermark")
 CHANNELS = {"image": 3, "gray": 1, "edge": 1, "mask": 1,
             "obscured": 3, "watermark": 3}
+
+# The six per-modality nets are TWO architectures instantiated thrice each
+# (channel count is the only difference — reference vision/model.py:16-28).
+# MVAE_STACK_MODALITIES=1 stacks each group's params at APPLY time and runs
+# one vmapped conv stack per group (6 conv-stack launches -> 2 per encode
+# and per decode term; the convs lower to batch-grouped convolutions with
+# 3x the batch). Checkpoint layout is unchanged — stacking is a jnp.stack
+# of the live param pytrees inside the step. Per-modality BN moments are
+# preserved exactly: vmap reduces each group slice independently.
+GROUPS = (("image", "obscured", "watermark"), ("gray", "edge", "mask"))
+
+
+def _stack_modalities() -> bool:
+    return os.environ.get("MVAE_STACK_MODALITIES") == "1"
+
+
+def _tree_stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _tree_index(tree, i):
+    return jax.tree.map(lambda x: x[i], tree)
 
 
 def _enc_specs(_c_in):
@@ -67,6 +91,8 @@ class VisionMVAE(MultimodalVAE):
         return params, {"enc": enc_state, "dec": dec_state}
 
     def encode(self, params, state, inputs, rng, train):
+        if _stack_modalities():
+            return self._encode_stacked(params, state, inputs, rng, train)
         L = self.n_latents
         mus, lvs, new_st = [], [], {}
         for i, m in enumerate(MODALITIES):
@@ -83,8 +109,46 @@ class VisionMVAE(MultimodalVAE):
             new_st[m] = st
         return jnp.stack(mus), jnp.stack(lvs), new_st
 
+    def _encode_stacked(self, params, state, inputs, rng, train):
+        """One vmapped conv stack + head per channel group. Per-modality
+        dropout keys replicate the unstacked path exactly
+        (fold_in(rng, MODALITIES.index(m)))."""
+        L = self.n_latents
+        mu_d, lv_d, new_st = {}, {}, {}
+        for grp in GROUPS:
+            specs = _enc_specs(CHANNELS[grp[0]])
+            p_g = _tree_stack([params[f"{m}_enc"] for m in grp])
+            st_g = _tree_stack([state["enc"][m] for m in grp])
+            x_g = jnp.stack([inputs[m] for m in grp])
+
+            def f(p, st, x, key):
+                h, st2 = conv_stack_apply(p["conv"], st, specs, x,
+                                          train=train,
+                                          dtype=self.compute_dtype)
+                out = head_apply(p["head"], h.reshape(h.shape[0], -1),
+                                 rng=key, train=train, dropout_rate=0.1,
+                                 dtype=self.compute_dtype)
+                return out, st2
+
+            if rng is None:
+                out, st2 = jax.vmap(
+                    lambda p, st, x: f(p, st, x, None))(p_g, st_g, x_g)
+            else:
+                keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+                    jnp.asarray([MODALITIES.index(m) for m in grp]))
+                out, st2 = jax.vmap(f)(p_g, st_g, x_g, keys)
+            for j, m in enumerate(grp):
+                mu_d[m] = out[j, :, :L]
+                lv_d[m] = out[j, :, L:]
+                new_st[m] = _tree_index(st2, j)
+        mus = [mu_d[m] for m in MODALITIES]
+        lvs = [lv_d[m] for m in MODALITIES]
+        return jnp.stack(mus), jnp.stack(lvs), new_st
+
     def decode(self, params, state, z, rng, train,
                stop_grads=frozenset()):
+        if _stack_modalities():
+            return self._decode_stacked(params, state, z, train, stop_grads)
         recons, new_st = {}, {}
         h0 = z
         for m in MODALITIES:
@@ -97,6 +161,28 @@ class VisionMVAE(MultimodalVAE):
                                          dtype=self.compute_dtype)
             recons[m] = img
             new_st[m] = st
+        return stop_grads_apply(recons, stop_grads), new_st
+
+    def _decode_stacked(self, params, state, z, train, stop_grads):
+        """One vmapped up-projection + deconv stack per channel group; z is
+        closed over (shared across the group, unbatched in the vmap)."""
+        recons, new_st = {}, {}
+        for grp in GROUPS:
+            specs = _dec_specs(CHANNELS[grp[0]])
+            p_g = _tree_stack([params[f"{m}_dec"] for m in grp])
+            st_g = _tree_stack([state["dec"][m] for m in grp])
+
+            def f(p, st):
+                h = swish(linear(p["up"], z))
+                h = h.reshape(-1, 5, 5, 256)
+                return deconv_stack_apply(p["deconv"], st, specs, h,
+                                          train=train,
+                                          dtype=self.compute_dtype)
+
+            img, st2 = jax.vmap(f)(p_g, st_g)
+            for j, m in enumerate(grp):
+                recons[m] = img[j]
+                new_st[m] = _tree_index(st2, j)
         return stop_grads_apply(recons, stop_grads), new_st
 
     def recon_loss(self, name, logits, target):

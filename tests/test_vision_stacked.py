@@ -1,0 +1,96 @@
+"""MVAE_STACK_MODALITIES=1 (vision): the group-stacked vmapped encode/decode
+must be semantically identical to the per-modality loop — values, BN state
+commits, and gradients — since it is a pure launch-count optimization
+(6 conv stacks -> 2 per encode / per decode term)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mvae_tpu.models.vision import VisionMVAE, MODALITIES, CHANNELS
+from mvae_tpu.train.loop import make_train_step
+
+MASKS = np.concatenate([np.ones((1, 6), np.float32),
+                        np.eye(6, dtype=np.float32)])
+LAMBDAS = np.full((7, 6), 1.0 / 6.0, np.float32)
+
+
+def _batch(b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return {m: jnp.asarray(rng.random((b, 64, 64, CHANNELS[m]), np.float32))
+            for m in MODALITIES}
+
+
+@pytest.fixture
+def stacked_env():
+    os.environ["MVAE_STACK_MODALITIES"] = "1"
+    yield
+    os.environ["MVAE_STACK_MODALITIES"] = "0"
+
+
+def _trees_close(a, b, rtol, atol, what):
+    la, ta = jax.tree.flatten(a)
+    lb, tb = jax.tree.flatten(b)
+    assert ta == tb, what
+    for xa, xb in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=rtol, atol=atol, err_msg=what)
+
+
+def test_stacked_encode_decode_match_loop(stacked_env):
+    model = VisionMVAE(8)
+    params, state = model.init(jax.random.key(0))
+    batch = _batch(seed=1)
+
+    os.environ["MVAE_STACK_MODALITIES"] = "0"
+    mu0, lv0, st0 = model.encode(params, state, batch, jax.random.key(1),
+                                 True)
+    rec0, dst0 = model.decode(params, state, jnp.ones((2, 8)) * 0.1, None,
+                              True)
+    os.environ["MVAE_STACK_MODALITIES"] = "1"
+    mu1, lv1, st1 = model.encode(params, state, batch, jax.random.key(1),
+                                 True)
+    rec1, dst1 = model.decode(params, state, jnp.ones((2, 8)) * 0.1, None,
+                              True)
+
+    # same dropout keys by construction (fold_in by MODALITIES index)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lv1), np.asarray(lv0),
+                               rtol=1e-5, atol=1e-5)
+    _trees_close(st1, st0, 1e-5, 1e-6, "encoder BN state")
+    for m in MODALITIES:
+        np.testing.assert_allclose(np.asarray(rec1[m]), np.asarray(rec0[m]),
+                                   rtol=1e-4, atol=1e-5, err_msg=m)
+    _trees_close(dst1, dst0, 1e-5, 1e-6, "decoder BN state")
+
+
+def test_stacked_full_step_matches_loop(stacked_env):
+    """One real optimizer step (7 terms, train mode): loss, grads-as-applied
+    (via updated params), and committed BN state agree with the loop path."""
+    model = VisionMVAE(8)
+    params, state = model.init(jax.random.key(3))
+    batch = _batch(b=4, seed=2)
+    tx = optax.adam(1e-3)
+
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["MVAE_STACK_MODALITIES"] = flag
+        step = make_train_step(model, tx, MASKS, LAMBDAS)
+        # the step donates params/state/opt_state — hand it fresh copies
+        p_in, s_in = (jax.tree.map(jnp.copy, t) for t in (params, state))
+        p, s, o, _, loss, per_term = step(p_in, s_in, tx.init(p_in),
+                                          jax.random.key(5), batch, 0.5)
+        outs[flag] = (p, s, float(loss), np.asarray(per_term))
+
+    assert np.isfinite(outs["1"][2])
+    assert abs(outs["1"][2] - outs["0"][2]) <= 1e-3 * abs(outs["0"][2])
+    np.testing.assert_allclose(outs["1"][3], outs["0"][3], rtol=1e-4)
+    # adam normalizes each grad, so reassociation-level grad noise near
+    # zero can swing a single update by up to ~lr; bound atol by 2*lr.
+    _trees_close(outs["1"][0], outs["0"][0], 5e-4, 2e-3, "updated params")
+    _trees_close(outs["1"][1], outs["0"][1], 1e-4, 1e-5, "committed state")
