@@ -94,3 +94,41 @@ def test_stacked_full_step_matches_loop(stacked_env):
     # zero can swing a single update by up to ~lr; bound atol by 2*lr.
     _trees_close(outs["1"][0], outs["0"][0], 5e-4, 2e-3, "updated params")
     _trees_close(outs["1"][1], outs["0"][1], 1e-4, 1e-5, "committed state")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_stacked_step_under_dp_tp_mesh(stacked_env):
+    """The stacked apply jnp.stack's TP-sharded param leaves inside the
+    jitted step — GSPMD must reshard and reproduce the single-device
+    UNSTACKED loss (3 terms to bound CPU compile time; encode still runs
+    all six modalities through the two stacked groups)."""
+    from mvae_tpu.parallel.mesh import (
+        make_mesh, batch_sharding, replicated, shard_params_tp)
+
+    masks = np.concatenate([np.ones((1, 6), np.float32),
+                            np.eye(6, dtype=np.float32)[:2]])
+    lambdas = np.full((3, 6), 1.0 / 6.0, np.float32)
+    model = VisionMVAE(8)
+    params, state = model.init(jax.random.key(0))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    batch = _batch(b=8, seed=4)
+    step = make_train_step(model, tx, masks, lambdas)
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+
+    os.environ["MVAE_STACK_MODALITIES"] = "0"
+    _, _, _, _, loss_single, pt_s = step(copy(params), copy(state),
+                                         copy(opt_state), jax.random.key(9),
+                                         batch, 0.4)
+
+    os.environ["MVAE_STACK_MODALITIES"] = "1"
+    mesh = make_mesh(data=4, model=2)
+    params_tp = shard_params_tp(params, mesh)
+    state_m, opt_m = jax.device_put((state, opt_state), replicated(mesh))
+    batch_m = {k: jax.device_put(v, batch_sharding(mesh))
+               for k, v in batch.items()}
+    _, _, _, _, loss_mesh, pt_m = step(params_tp, state_m, opt_m,
+                                       jax.random.key(9), batch_m, 0.4)
+    np.testing.assert_allclose(float(loss_single), float(loss_mesh),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pt_s), np.asarray(pt_m), rtol=1e-5)
