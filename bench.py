@@ -225,7 +225,7 @@ def wait_for_backend(probe_timeout=180, attempts=None, sleep_s=120):
     then blocks forever with no timeout, which would hang this benchmark
     (and the round driver invoking it) indefinitely. Probe in a SUBPROCESS
     (backend init happens at jax import; a hung init can't be cancelled
-    in-process) and retry for ~15 min before failing loudly."""
+    in-process) and retry for ~1h by default before failing loudly."""
     import subprocess
     import sys
     if attempts is None:
@@ -240,12 +240,17 @@ def wait_for_backend(probe_timeout=180, attempts=None, sleep_s=120):
         try:
             subprocess.run([sys.executable, "-c", probe], check=True,
                            timeout=probe_timeout, stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
+                           stderr=subprocess.PIPE)
             return
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
             last = attempt + 1 == attempts
+            # a nonzero exit carries a real traceback (broken env OR a
+            # transient tunnel error raised in-process) — surface its tail
+            # so an hour of retries never hides the actual failure
+            tail = b"" if e.stderr is None else e.stderr[-500:]
             print(f"backend probe {attempt + 1}/{attempts} failed "
                   f"({type(e).__name__})"
+                  + (f": ...{tail.decode(errors='replace')}" if tail else "")
                   + ("" if last else f"; retrying in {sleep_s}s"),
                   file=sys.stderr, flush=True)
             if not last:

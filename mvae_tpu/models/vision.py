@@ -147,7 +147,14 @@ class VisionMVAE(MultimodalVAE):
 
     def decode(self, params, state, z, rng, train,
                stop_grads=frozenset()):
-        if _stack_modalities():
+        # Stacking would defeat the engine's dead-backward elimination for
+        # stop-gradded decoders (stop_gradient on slices of one vmapped
+        # conv output can't DCE the shared batched backward), so fall back
+        # to the loop whenever stop-grads are requested. Vision's
+        # production objective never requests any (all-ones recon masks —
+        # experiments/vision/train.py RECON_MASKS), so the stacked path
+        # covers every shipped configuration.
+        if _stack_modalities() and not stop_grads:
             return self._decode_stacked(params, state, z, train, stop_grads)
         recons, new_st = {}, {}
         h0 = z

@@ -3,7 +3,6 @@ must be semantically identical to the per-modality loop — values, BN state
 commits, and gradients — since it is a pure launch-count optimization
 (6 conv stacks -> 2 per encode / per decode term)."""
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -26,10 +25,12 @@ def _batch(b=2, seed=0):
 
 
 @pytest.fixture
-def stacked_env():
-    os.environ["MVAE_STACK_MODALITIES"] = "1"
-    yield
-    os.environ["MVAE_STACK_MODALITIES"] = "0"
+def stacked_env(monkeypatch):
+    # monkeypatch scopes the mutation: the prior value (or absence) is
+    # restored after each test, so an exported MVAE_STACK_MODALITIES=1
+    # still governs the rest of the suite
+    monkeypatch.setenv("MVAE_STACK_MODALITIES", "1")
+    yield monkeypatch
 
 
 def _trees_close(a, b, rtol, atol, what):
@@ -46,12 +47,12 @@ def test_stacked_encode_decode_match_loop(stacked_env):
     params, state = model.init(jax.random.key(0))
     batch = _batch(seed=1)
 
-    os.environ["MVAE_STACK_MODALITIES"] = "0"
+    stacked_env.setenv("MVAE_STACK_MODALITIES", "0")
     mu0, lv0, st0 = model.encode(params, state, batch, jax.random.key(1),
                                  True)
     rec0, dst0 = model.decode(params, state, jnp.ones((2, 8)) * 0.1, None,
                               True)
-    os.environ["MVAE_STACK_MODALITIES"] = "1"
+    stacked_env.setenv("MVAE_STACK_MODALITIES", "1")
     mu1, lv1, st1 = model.encode(params, state, batch, jax.random.key(1),
                                  True)
     rec1, dst1 = model.decode(params, state, jnp.ones((2, 8)) * 0.1, None,
@@ -79,7 +80,7 @@ def test_stacked_full_step_matches_loop(stacked_env):
 
     outs = {}
     for flag in ("0", "1"):
-        os.environ["MVAE_STACK_MODALITIES"] = flag
+        stacked_env.setenv("MVAE_STACK_MODALITIES", flag)
         step = make_train_step(model, tx, MASKS, LAMBDAS)
         # the step donates params/state/opt_state — hand it fresh copies
         p_in, s_in = (jax.tree.map(jnp.copy, t) for t in (params, state))
@@ -113,15 +114,19 @@ def test_stacked_step_under_dp_tp_mesh(stacked_env):
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
     batch = _batch(b=8, seed=4)
-    step = make_train_step(model, tx, masks, lambdas)
     copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
 
-    os.environ["MVAE_STACK_MODALITIES"] = "0"
+    # the flag is read at TRACE time — build a fresh step per flag so the
+    # stacked path is traced by construction rather than relying on an
+    # input-sharding jit-cache miss to force a retrace
+    stacked_env.setenv("MVAE_STACK_MODALITIES", "0")
+    step = make_train_step(model, tx, masks, lambdas)
     _, _, _, _, loss_single, pt_s = step(copy(params), copy(state),
                                          copy(opt_state), jax.random.key(9),
                                          batch, 0.4)
 
-    os.environ["MVAE_STACK_MODALITIES"] = "1"
+    stacked_env.setenv("MVAE_STACK_MODALITIES", "1")
+    step = make_train_step(model, tx, masks, lambdas)
     mesh = make_mesh(data=4, model=2)
     params_tp = shard_params_tp(params, mesh)
     state_m, opt_m = jax.device_put((state, opt_state), replicated(mesh))
