@@ -39,6 +39,20 @@ def _one_pass_default() -> bool:
     return os.environ.get("MVAE_BN_TWO_PASS") != "1"
 
 
+# MVAE_BN_MXU_MOMENTS=1 (opt-in experiment): compute the two forward batch
+# moments as ones-vector matmuls, (1,N)@(N,C), so they lower onto the MXU
+# instead of VPU channel reductions — the flagship trace puts ~48% of the
+# CelebA step in BN/ELBO reduction work (BASELINE.md roofline section).
+# Forward-only: the BN backward's channel sums are the transposes of the
+# (x - mean) broadcasts and stay VPU reductions regardless of the forward
+# form. Algebraically identical to the fused one-pass reductions; numerics
+# differ only in f32 accumulation order.
+
+
+def _mxu_moments() -> bool:
+    return os.environ.get("MVAE_BN_MXU_MOMENTS") == "1"
+
+
 def batchnorm_init(c: int, dtype=jnp.float32):
     params = {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
     state = {"mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
@@ -56,13 +70,23 @@ def batchnorm_apply(params, state, x, *, train: bool,
         n = 1
         for a in axes:
             n *= x.shape[a]
-        mean = jnp.mean(x, axis=axes)
-        if one_pass:
+        if one_pass and _mxu_moments():
+            x2d = x.reshape(n, x.shape[-1]).astype(jnp.float32)
+            ones = jnp.ones((n,), jnp.float32)
+            mean = (ones @ x2d) / n
+            # the square fuses into the second matmul's operand read
+            var = jnp.maximum((ones @ jnp.square(x2d)) / n
+                              - jnp.square(mean), 0.0)
+            # keep downstream dtypes identical to the reduction path
+            mean, var = mean.astype(x.dtype), var.astype(x.dtype)
+        elif one_pass:
+            mean = jnp.mean(x, axis=axes)
             # single read: both reductions fuse over the same pass of x;
             # clamp the cancellation residue (var >= 0 analytically)
             var = jnp.maximum(
                 jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean), 0.0)
         else:
+            mean = jnp.mean(x, axis=axes)
             var = jnp.mean(jnp.square(x - mean), axis=axes)  # biased
         # unbiased variance feeds the running estimate (torch behavior)
         unbiased = var * (n / max(n - 1, 1))

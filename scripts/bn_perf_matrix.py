@@ -6,9 +6,11 @@ Modes, per family and dtype:
   one_pass — var = E[x^2] - E[x]^2 fused into a single read (nn/norm.py
              default since round 3)
   pallas   — fused BN+swish kernels, fwd + custom VJP (ops/bn_pallas.py)
+  mxu      — one-pass moments as ones-vector matmuls on the MXU instead
+             of VPU channel reductions (forward only; nn/norm.py)
 
 Usage:  python scripts/bn_perf_matrix.py [--families celeba,...] [--k 100]
-        [--modes two_pass,one_pass,pallas] [--f32] [--bf16]
+        [--modes two_pass,one_pass,pallas,mxu] [--f32] [--bf16]
 Rows feed BASELINE.md's BN-fusion section by hand.
 """
 
@@ -24,11 +26,12 @@ from scripts.bench_families import bench_family                # noqa: E402
 
 
 def set_mode(mode: str) -> None:
-    """two_pass | one_pass | pallas | bf16_logits (one-pass BN + bf16
-    train-mode logits, meaningful with a bf16 dtype only). All three
+    """two_pass | one_pass | pallas | mxu | bf16_logits (one-pass BN +
+    bf16 train-mode logits, meaningful with a bf16 dtype only). All the
     switches are the public env vars, read at trace time."""
     os.environ["MVAE_BN_TWO_PASS"] = "1" if mode == "two_pass" else "0"
     os.environ["MVAE_PALLAS_BN"] = "1" if mode == "pallas" else "0"
+    os.environ["MVAE_BN_MXU_MOMENTS"] = "1" if mode == "mxu" else "0"
     os.environ["MVAE_BF16_LOGITS"] = "1" if mode == "bf16_logits" else "0"
 
 
@@ -36,7 +39,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default="celeba")
     ap.add_argument("--k", type=int, default=100)
-    ap.add_argument("--modes", default="two_pass,one_pass,pallas")
+    ap.add_argument("--modes", default="two_pass,one_pass,pallas,mxu")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ns = ap.parse_args()

@@ -130,6 +130,46 @@ def test_batchnorm_one_pass_vs_two_pass():
     assert abs(float(s1["var"][0]) - 0.9) < 1e-3   # EMA: 0.9*1.0 + 0.1*~0
 
 
+def test_batchnorm_mxu_moments_matches_reductions(monkeypatch):
+    """MVAE_BN_MXU_MOMENTS=1 (ones-vector matmul moments) agrees with the
+    fused one-pass reductions to f32 accumulation-order noise — values,
+    committed state, AND grads — and preserves bf16 output dtype."""
+    import jax
+
+    import mvae_tpu.nn.norm as norm
+    rng = np.random.default_rng(13)
+    c = 32
+    x = jnp.asarray(rng.normal(1.0, 2.0, (16, 5, 5, c)), jnp.float32)
+    params, state = batchnorm_init(c)
+
+    def loss(p, xx):
+        y, s = norm.batchnorm_apply(p, state, xx, train=True)
+        return jnp.sum(jnp.square(y)) + jnp.sum(s["var"]), s
+
+    (l0, s0), g0 = jax.value_and_grad(loss, argnums=(0, 1),
+                                      has_aux=True)(params, x)
+    monkeypatch.setenv("MVAE_BN_MXU_MOMENTS", "1")
+    assert norm._mxu_moments() is True
+    (l1, s1), g1 = jax.value_and_grad(loss, argnums=(0, 1),
+                                      has_aux=True)(params, x)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s0[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    # scale/bias grads are near-cancelling sums of ~12k O(1) terms, so
+    # accumulation order moves them at the ~1e-4 f32 noise floor
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    # bf16 input: output dtype must match the reduction path's exactly
+    y_mxu, _ = norm.batchnorm_apply(params, state, x.astype(jnp.bfloat16),
+                                    train=True)
+    monkeypatch.delenv("MVAE_BN_MXU_MOMENTS")
+    y_red, _ = norm.batchnorm_apply(params, state, x.astype(jnp.bfloat16),
+                                    train=True)
+    assert y_mxu.dtype == y_red.dtype
+
+
 def test_batchnorm_two_pass_env_switch(monkeypatch):
     """MVAE_BN_TWO_PASS=1 restores the textbook moments as the default
     (read lazily at trace time, no reimport needed), and wins over
