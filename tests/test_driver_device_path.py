@@ -175,7 +175,7 @@ import pytest
                     reason="~11 min XLA compile on the 1-CPU host "
                            "(64x64 conv grads; invariant to config size); "
                            "set MVAE_SLOW_TESTS=1 — verified passing "
-                           "2026-08-16 incl. expert-gather decode, 524s")
+                           "2026-08-18 incl. expert-gather decode, 385s")
 def test_device_data_celeba19_dynamic_masks(tmp_path, capsys):
     """The chunked path must also handle per-step (K,T,M) sampled masks."""
     from experiments.celeba19 import train as c19_train
