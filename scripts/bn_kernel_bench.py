@@ -1,4 +1,5 @@
-"""Isolated BN+swish fwd+bwd: Pallas fused kernels vs XLA's jnp form.
+"""Isolated BN+swish fwd+bwd: Pallas fused kernels vs XLA's jnp form
+vs MXU matmul moments (MVAE_BN_MXU_MOMENTS — nn/norm.py).
 
 Times a jitted loss-grad of sum(bn_swish(x)^2) over the celeba/vision
 activation shapes (per-term decoder/encoder tensors) with hard readback
@@ -40,6 +41,15 @@ def _jnp_form(x, scale, bias):
     return swish(y.astype(x.dtype))
 
 
+def _mxu_form(x, scale, bias):
+    # same jnp form, but forward moments as ones-vector matmuls
+    os.environ["MVAE_BN_MXU_MOMENTS"] = "1"
+    try:
+        return _jnp_form(x, scale, bias)
+    finally:
+        os.environ["MVAE_BN_MXU_MOMENTS"] = "0"
+
+
 def bench(fn, x, scale, bias, iters):
     loss = lambda xx: jnp.sum(fn(xx, scale, bias).astype(jnp.float32) ** 2)
     if x.ndim == 5:
@@ -64,7 +74,8 @@ def main():
     dtype = jnp.bfloat16 if ns.bf16 else jnp.float32
     rng = np.random.default_rng(0)
     fused = lambda xx, s, b: bn_swish_train(xx, s, b)[0]
-    print(f"{'shape':12s} {'xla us':>10s} {'pallas us':>10s}   winner")
+    print(f"{'shape':12s} {'xla us':>10s} {'pallas us':>10s} "
+          f"{'mxu us':>10s}   winner")
     for label, shape in SHAPES:
         c = shape[-1]
         x = jnp.asarray(rng.normal(0, 1, shape), dtype)
@@ -72,9 +83,11 @@ def main():
         bias = jnp.zeros((c,), jnp.float32)
         tx = bench(_jnp_form, x, scale, bias, ns.iters)
         tp = bench(fused, x, scale, bias, ns.iters)
-        win = "pallas" if tp < tx else "xla"
-        print(f"{label:12s} {tx:10.1f} {tp:10.1f}   {win} "
-              f"({abs(tx - tp) / max(tx, tp) * 100:.0f}%)", flush=True)
+        tm = bench(_mxu_form, x, scale, bias, ns.iters)
+        best = min(tx, tp, tm)
+        win = {tx: "xla", tp: "pallas", tm: "mxu"}[best]
+        print(f"{label:12s} {tx:10.1f} {tp:10.1f} {tm:10.1f}   {win}",
+              flush=True)
 
 
 if __name__ == "__main__":
