@@ -109,12 +109,17 @@ def deconv_stack_apply(params, state, specs, x, *, train, dtype=None):
 
 
 def _bf16_logits() -> bool:
-    """Opt-in experiment (MVAE_BF16_LOGITS=1): keep TRAIN-mode decoder
-    logits in the compute dtype instead of materializing them f32 — halves
-    the write+read HBM bytes of the step's largest activation (the
-    (T, B, 64, 64, C) recon logits). Eval/sampling always emit f32."""
+    """Keep TRAIN-mode decoder logits in the compute dtype instead of
+    materializing them f32 — halves the write+read HBM bytes of the step's
+    largest activation (the (T, B, 64, 64, C) recon logits). The loss side
+    upcasts to f32 before any arithmetic (core/losses.py), so losses and
+    gradients are BIT-IDENTICAL to the f32-logits form (tested); measured
+    +4% on the celeba step (1.876 -> 1.803 ms, BASELINE.md BN section), so
+    since round 3 this is the DEFAULT whenever a compute dtype is set;
+    MVAE_BF16_LOGITS=0 restores the f32 materialization. Eval/sampling
+    always emit f32."""
     import os
-    return os.environ.get("MVAE_BF16_LOGITS") == "1"
+    return os.environ.get("MVAE_BF16_LOGITS", "1") != "0"
 
 
 def head_init(key, d_in, n_latents, *, hidden=512):

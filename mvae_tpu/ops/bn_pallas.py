@@ -69,21 +69,34 @@ def _view2d(c: int, numel: int):
 
 
 def _row_block(r: int, lanes: int, itemsize: int) -> int:
-    """Largest divisor of r whose (block, lanes) tile stays under ~2 MB."""
+    """Largest divisor of r whose (block, lanes) tile stays under ~2 MB.
+
+    TPU lowering requires the sublane (second-to-last) block dim to be a
+    multiple of the dtype's sublane quantum (8 for f32, 16 for bf16) OR
+    equal to the full array dim, so only such divisors qualify; when r has
+    no aligned divisor under the cap, fall back to the whole array as one
+    block (legal at any r; these activations are far under VMEM then,
+    because an unaligned r is a small FC/BN1d shape, not a conv map).
+    """
+    quantum = {4: 8, 2: 16, 1: 32}.get(itemsize, 8)
     cap = max(1, (2 << 20) // (lanes * itemsize))
-    best = 1
+    best = 0
     for d in range(1, int(r ** 0.5) + 1):
         if r % d == 0:
             for cand in (d, r // d):
-                if cand <= cap and cand > best:
+                if cand <= cap and cand > best and cand % quantum == 0:
                     best = cand
-    return best
+    return best if best else r
 
 
 def _k_moments(x_ref, s_ref, q_ref):
+    # Partial sums land in an (8, lanes) block (TPU sublane minimum for
+    # f32 output tiling) — broadcast the row so every sublane is valid.
     xf = x_ref[:].astype(jnp.float32)
-    s_ref[:] = jnp.sum(xf, axis=0, keepdims=True)
-    q_ref[:] = jnp.sum(xf * xf, axis=0, keepdims=True)
+    s_ref[:] = jnp.broadcast_to(jnp.sum(xf, axis=0, keepdims=True),
+                                s_ref.shape)
+    q_ref[:] = jnp.broadcast_to(jnp.sum(xf * xf, axis=0, keepdims=True),
+                                q_ref.shape)
 
 
 def _k_normalize(x_ref, a_ref, b_ref, y_ref):
@@ -96,10 +109,12 @@ def _k_bwd_partials(x_ref, g_ref, a_ref, b_ref, sdz_ref, sdzx_ref):
     z = xf * a_ref[:] + b_ref[:]
     s = jax.nn.sigmoid(z)
     dz = g_ref[:].astype(jnp.float32) * (s * (1.0 + z * (1.0 - s)))
-    sdz_ref[:] = jnp.sum(dz, axis=0, keepdims=True)
+    sdz_ref[:] = jnp.broadcast_to(jnp.sum(dz, axis=0, keepdims=True),
+                                  sdz_ref.shape)
     # xhat = (z - beta~) ... accumulate against x directly and shift
     # outside: sum(dz * xhat) = (sum(dz*x) - mean*sum(dz)) * invstd
-    sdzx_ref[:] = jnp.sum(dz * xf, axis=0, keepdims=True)
+    sdzx_ref[:] = jnp.broadcast_to(jnp.sum(dz * xf, axis=0, keepdims=True),
+                                   sdzx_ref.shape)
 
 
 def _k_dx(x_ref, g_ref, a_ref, b_ref, p_ref, q_ref, r_ref, dx_ref):
@@ -122,12 +137,14 @@ def _moments(x2, r, lanes, tr):
         grid=(rb,),
         in_specs=[pl.BlockSpec((tr, lanes), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, lanes), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((8, lanes), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((rb, lanes), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rb * 8, lanes), jnp.float32)] * 2,
         interpret=_interpret(),
     )(x2)
-    return jnp.sum(sums, axis=0), jnp.sum(sqs, axis=0)      # (lanes,)
+    # Each 8-row block holds one partial, broadcast; row 0 of each suffices.
+    return (jnp.sum(sums.reshape(rb, 8, lanes)[:, 0], axis=0),
+            jnp.sum(sqs.reshape(rb, 8, lanes)[:, 0], axis=0))  # (lanes,)
 
 
 def _normalize(x2, a, b, r, lanes, tr, out_dtype):
@@ -154,12 +171,13 @@ def _bwd_partials(x2, g2, a, b, r, lanes, tr):
         _k_bwd_partials,
         grid=(rb,),
         in_specs=[blk, blk, vec, vec],
-        out_specs=[pl.BlockSpec((1, lanes), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((8, lanes), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((rb, lanes), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rb * 8, lanes), jnp.float32)] * 2,
         interpret=_interpret(),
     )(x2, g2, a, b)
-    return jnp.sum(sdz, axis=0), jnp.sum(sdzx, axis=0)
+    return (jnp.sum(sdz.reshape(rb, 8, lanes)[:, 0], axis=0),
+            jnp.sum(sdzx.reshape(rb, 8, lanes)[:, 0], axis=0))
 
 
 def _dx(x2, g2, a, b, p, q, rr, r, lanes, tr, out_dtype):

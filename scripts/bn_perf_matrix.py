@@ -61,8 +61,12 @@ def main():
                     except Exception as e:
                         print(f"  retry ({type(e).__name__})", flush=True)
                         if attempt == 2:
-                            raise
-                        time.sleep(20)
+                            # deterministic failure in ONE mode (e.g. a
+                            # lowering error) — report it and keep the
+                            # rest of the matrix alive
+                            print(f"  FAILED {mode}: {e}", flush=True)
+                        else:
+                            time.sleep(20)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,35 @@ def test_shapes_and_one_step(name, model, spec):
     assert per_term.shape == (3,)
 
 
+def test_bf16_logits_default_is_bit_identical(monkeypatch):
+    """Round-3 default: TRAIN-mode decoder logits stay in the compute
+    dtype (nn/dcgan.py:_bf16_logits) instead of materializing f32. This
+    must be semantics-FREE, not merely close: the loss side upcasts to f32
+    before any arithmetic (core/losses.py:bce_row_sum) and the astype VJP
+    rounds the cotangent to bf16 at the same point in both forms, so loss
+    and every updated-parameter leaf are required to be BIT-identical
+    with MVAE_BF16_LOGITS=0 (old f32 materialization) vs =1 (default)."""
+    from mvae_tpu.models.celeba import CelebaMVAE
+    spec = {"image": ((64, 64, 3), jnp.float32),
+            "attrs": ((18,), jnp.float32)}
+    batch = _batch(spec, 4)
+    tx = optax.adam(1e-3)
+    out = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("MVAE_BF16_LOGITS", flag)
+        # fresh model + step per flag: the env var is read at TRACE time
+        model = CelebaMVAE(16, compute_dtype=jnp.bfloat16)
+        params, state = model.init(jax.random.key(0))
+        step = make_train_step(model, tx, MASKS2, LAMBDAS2)
+        p, s, o, r, loss, per_term = step(params, state, tx.init(params),
+                                          jax.random.key(3), batch, 0.5)
+        out[flag] = (float(loss), jax.device_get(p))
+    assert out["0"][0] == out["1"][0]
+    leaves0 = jax.tree.leaves(out["0"][1])
+    leaves1 = jax.tree.leaves(out["1"][1])
+    assert all(np.array_equal(a, b) for a, b in zip(leaves0, leaves1))
+
+
 @pytest.mark.parametrize("name,model,spec",
                          _models(), ids=lambda x: x if isinstance(x, str) else "")
 def test_eval_deterministic(name, model, spec):
