@@ -21,10 +21,13 @@ import time
 BATCH = 100
 N_LATENTS = 100
 WARMUP = 3
-ITERS = 480   # steps fused per dispatch; window sweep (BASELINE.md):
-              # 356/486/541 steps/sec at K=30/120/480 on v5e-1 — each
-              # window boundary costs ~34 ms of tunnel dispatch+readback,
-              # so longer windows approach the ~1.78 ms pure-device step
+ITERS = 960   # steps fused per dispatch; window sweep (BASELINE.md):
+              # 356/486/541 steps/sec at K=30/120/480 on v5e-1 (f32) —
+              # each window boundary costs ~34 ms of tunnel
+              # dispatch+readback, so longer windows approach the
+              # pure-device step. With the bf16(+bf16_logits, one-pass
+              # BN) default: 632.8 at K=480 vs 646.1 at K=960 (same
+              # session) — K=960 keeps the residual dispatch under 2%
 BASELINE_FILE = os.path.join(os.path.dirname(__file__),
                              "BASELINE_local.json")
 

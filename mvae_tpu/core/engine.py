@@ -87,7 +87,7 @@ def commit_ema_states(model, state, enc_state, dec_states, term_masks):
 
 
 def _decode_grouped(model, params, state, z, dec_keys, train, support,
-                    skip_nograd=False):
+                    skip_nograd=False, loss_fn=None):
     """Decode the T terms grouped by their STATIC recon-weight support,
     stopping the gradient of decoder groups a term can never train
     (model.stop_grad_groups). Values, BN statistics, and gradients are
@@ -116,7 +116,16 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support,
     experts' recon weights are statically zero and no BN stats exist;
     numerically equal within float reassociation, asserted at rtol 5e-4
     in tests/test_celeba19.py), ~7x fewer expert-decode FLOPs on the
-    celeba19 step."""
+    celeba19 step.
+
+    loss_fn: optional recons-dict -> (B, M) per-term loss rows, applied
+    INSIDE each group's vmap so only the small loss rows cross the group
+    concat — without it the full per-group recon logits (celeba19:
+    (21, B, 64, 64, 3)) are concatenated in term order first, and the
+    v5e trace shows XLA spending ~600 us/step on layout copies of
+    exactly that tensor (two 51.6 MB copies + a reshape,
+    scripts/roofline_family.py --family celeba19). Same math, same
+    reduction axes — values equal within float reassociation."""
     import numpy as np
     T = z.shape[0]
     variant_of = getattr(model, "decode_group_key", lambda row: None)
@@ -127,10 +136,10 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support,
                           []).append(t)
     stop0, var0 = next(iter(groups))
     if len(groups) == 1 and not stop0 and var0 is None:
-        recons, dec_states = jax.vmap(
-            lambda zt, kt: model.decode(params, state, zt, kt, train)
-        )(z, dec_keys)
-        return recons, dec_states
+        def _plain(zt, kt):
+            r, s = model.decode(params, state, zt, kt, train)
+            return (r if loss_fn is None else loss_fn(r)), s
+        return jax.vmap(_plain)(z, dec_keys)
     # stateless decoder groups (no BN) can ALWAYS be skipped when their
     # recon weight is statically zero — no statistics exist to diverge;
     # stateful (BN) groups additionally need the fast-mode opt-in
@@ -143,18 +152,16 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support,
         ia = np.asarray(idxs)
         skip = stop & skippable
         kw = {"skip_decodes": skip} if skip else {}
+        def _term(zt, kt, op=None, _stop=stop - skip, _kw=kw):
+            extra = {} if op is None else {"term_operand": op}
+            r, s = model.decode(params, state, zt, kt, train,
+                                stop_grads=_stop, **extra, **_kw)
+            return (r if loss_fn is None else loss_fn(r)), s
         if variant is not None:
             operands = model.decode_term_operands(support[ia])
-            r, s = jax.vmap(
-                lambda zt, kt, op: model.decode(params, state, zt, kt, train,
-                                                stop_grads=stop - skip,
-                                                term_operand=op, **kw)
-            )(z[ia], dec_keys[ia], operands)
+            r, s = jax.vmap(_term)(z[ia], dec_keys[ia], operands)
         else:
-            r, s = jax.vmap(
-                lambda zt, kt: model.decode(params, state, zt, kt, train,
-                                            stop_grads=stop - skip, **kw)
-            )(z[ia], dec_keys[ia])
+            r, s = jax.vmap(_term)(z[ia], dec_keys[ia])
         order.extend(idxs)
         rec_parts.append(r)
         st_parts.append(s)
@@ -219,21 +226,30 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
     T = term_masks.shape[0]
     dec_keys = (jax.random.split(rngs[2], T) if rngs[2] is not None
                 else jnp.zeros((T, 2), jnp.uint32))
+    # 5 is fused into 4 on the grouped train path (below): recon_losses
+    # gives (B, M) per term — M = number of EXPERTS (celeba19's 18
+    # per-attribute experts are columns of one vectorized call, not a
+    # Python loop). Computing it INSIDE each decode group keeps the full
+    # (T, B, ...) recon logits from being concatenated/layout-copied
+    # (see _decode_grouped loss_fn; MVAE_GROUPED_TERM_LOSS=0 restores the
+    # concat-then-loss form for A/B).
+    import os
+    fuse_loss = os.environ.get("MVAE_GROUPED_TERM_LOSS", "1") == "1"
     if train and recon_support is not None:
-        recons, dec_states = _decode_grouped(model, params, state, z,
-                                             dec_keys, train, recon_support,
-                                             skip_nograd=fast_skip_decode)
+        recon_stack, dec_states = _decode_grouped(
+            model, params, state, z, dec_keys, train, recon_support,
+            skip_nograd=fast_skip_decode,
+            loss_fn=(lambda rt: model.recon_losses(rt, inputs))
+            if fuse_loss else None)
+        if not fuse_loss:
+            recon_stack = jax.vmap(
+                lambda rt: model.recon_losses(rt, inputs))(recon_stack)
     else:
         recons, dec_states = jax.vmap(
             lambda zt, kt: model.decode(params, state, zt, kt, train)
         )(z, dec_keys)
-    # recons[name]: (T, B, ...); dec_states: pytree stacked over T
-
-    # 5. masked, weighted reduction. recon_losses gives (B, M) per term —
-    # M = number of EXPERTS (celeba19's 18 per-attribute experts are columns
-    # of one vectorized call, not a Python loop).
-    recon_stack = jax.vmap(
-        lambda rt: model.recon_losses(rt, inputs))(recons)    # (T, B, M)
+        recon_stack = jax.vmap(
+            lambda rt: model.recon_losses(rt, inputs))(recons)  # (T, B, M)
     rmask = term_masks if recon_masks is None else recon_masks
     w = (rmask * term_lambdas)[:, None, :]                    # (T, 1, M)
     recon = jnp.sum(recon_stack * w, axis=-1)                 # (T, B)

@@ -132,6 +132,45 @@ def test_recon_support_grouped_decode_matches_ungrouped():
                                    atol=1e-4)
 
 
+def test_grouped_term_loss_fusion_matches_concat_form(monkeypatch):
+    """MVAE_GROUPED_TERM_LOSS=1 (default) computes recon_losses INSIDE each
+    decode group so only (B, M) loss rows cross the group concat — the
+    concat-then-loss form (=0) must produce the same totals, per-term
+    ELBOs, committed states, and gradients (float reassociation only).
+    The env var is read at trace time, so flipping it between direct
+    multi_term_elbo calls re-traces both forms."""
+    from mvae_tpu.core.subsets import celeba19_recon_support
+
+    model = Celeba19MVAE(6)
+    params, state = model.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    masks, lambdas = celeba19_step_terms(rng, 2, N_ATTRS, 1.0, 10.0)
+    masks, lambdas = jnp.asarray(masks), jnp.asarray(lambdas)
+    support = celeba19_recon_support(2, N_ATTRS)
+    batch = _batch()
+
+    def loss(p):
+        total, aux, st = multi_term_elbo(
+            model, p, state, batch, masks, lambdas, jax.random.key(7),
+            0.5, train=True, recon_support=support)
+        return total, (aux["per_term"], st)
+
+    monkeypatch.setenv("MVAE_GROUPED_TERM_LOSS", "1")
+    (l1, (pt1, st1)), g1 = jax.value_and_grad(loss, has_aux=True)(params)
+    monkeypatch.setenv("MVAE_GROUPED_TERM_LOSS", "0")
+    (l0, (pt0, st0)), g0 = jax.value_and_grad(loss, has_aux=True)(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pt1), np.asarray(pt0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st1),
+                    jax.tree_util.tree_leaves(st0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=1e-4)
+
+
 def test_gathered_expert_decode_matches_full():
     """Terms whose static support needs k < 18 attr experts decode with
     per-term GATHERED expert params (model.decode_group_key /
