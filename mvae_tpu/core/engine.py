@@ -173,9 +173,22 @@ def _decode_grouped(model, params, state, z, dec_keys, train, support,
     return recons, dec_states
 
 
+def grouped_term_loss_default() -> bool:
+    """Default for the grouped term-loss fusion (engine `_decode_grouped
+    loss_fn`): the `MVAE_GROUPED_TERM_LOSS` env var, read ONCE when a step
+    function is BUILT/TRACED. Flipping the env var after a step is compiled
+    (or under a warm persistent compilation cache) has no effect — for an
+    A/B, set it before process start or pass `grouped_term_loss=` explicitly
+    to make_*_step / multi_term_elbo. (See BASELINE.md "grouped-term-loss".)
+    """
+    import os
+    return os.environ.get("MVAE_GROUPED_TERM_LOSS", "1") == "1"
+
+
 def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
                     rng, beta, *, train: bool, recon_masks=None,
-                    recon_support=None, fast_skip_decode=False):
+                    recon_support=None, fast_skip_decode=False,
+                    grouped_term_loss=None):
     """Compute sum over T subset-ELBO terms in one traced graph.
 
     model:        MultimodalVAE (static).
@@ -231,10 +244,11 @@ def multi_term_elbo(model, params, state, inputs, term_masks, term_lambdas,
     # per-attribute experts are columns of one vectorized call, not a
     # Python loop). Computing it INSIDE each decode group keeps the full
     # (T, B, ...) recon logits from being concatenated/layout-copied
-    # (see _decode_grouped loss_fn; MVAE_GROUPED_TERM_LOSS=0 restores the
-    # concat-then-loss form for A/B).
-    import os
-    fuse_loss = os.environ.get("MVAE_GROUPED_TERM_LOSS", "1") == "1"
+    # (see _decode_grouped loss_fn). grouped_term_loss=None defers to
+    # MVAE_GROUPED_TERM_LOSS, read at TRACE time — see
+    # grouped_term_loss_default() for the A/B caveat.
+    fuse_loss = (grouped_term_loss_default() if grouped_term_loss is None
+                 else grouped_term_loss)
     if train and recon_support is not None:
         recon_stack, dec_states = _decode_grouped(
             model, params, state, z, dec_keys, train, recon_support,

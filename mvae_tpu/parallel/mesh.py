@@ -7,13 +7,20 @@ insert the collectives over ICI.
 
 Axes:
   * "data"  — batch sharding (primary; gradients psum'd by XLA).
-  * "model" — tensor parallelism for the 512-wide FC stacks: weights sharded
-    on the output feature axis for the first linear of a block and the input
-    feature axis of the next (Megatron-style pairing), activations
-    re-gathered by XLA where needed. The models here are small, so TP is a
+  * "model" — tensor parallelism for the MLP stacks (shard_params_tp):
+    consecutive linear layers of an MLP list get Megatron-style pairing —
+    layer k column-sharded (output features over "model", bias sharded),
+    layer k+1 row-sharded (input features over "model", bias replicated) —
+    so the activation between them never leaves the shard and XLA inserts
+    exactly ONE all-reduce per pair (asserted on the virtual mesh in
+    tests/test_tp_megatron.py). Layers whose relevant feature axis is not
+    divisible by mesh.shape["model"] replicate and restart the pairing.
+    Standalone weights outside MLP lists (embedding tables, conv kernels,
+    BN scales) replicate. The models here are small, so TP is a
     demonstration axis more than a necessity — documented as such.
   * Expert parallelism for celeba19's 18 stacked attribute experts: the
-    leading expert axis of the stacked parameter pytrees shards over "model".
+    leading expert axis of the stacked parameter pytrees shards over
+    "model" when divisible by the axis size.
 
 Everything is plain `jax.jit` + NamedSharding: semantics are identical to
 single-device execution (tested on the 8-virtual-device CPU mesh).
@@ -26,8 +33,6 @@ would add collective latency for no memory relief. TP params already
 shard where the mesh has a "model" axis (shard_params_tp), and adam's
 moments inherit those shardings (train/driver.py).
 """
-
-import re
 
 import jax
 import numpy as np
@@ -63,36 +68,70 @@ def shard_batch_dp(batch: dict, mesh):
 
 # -- tensor/expert parallel parameter placement ----------------------------
 
-def _spec_for(path: str, leaf) -> P:
-    """Heuristic TP placement for this framework's parameter naming.
+def _is_linear(layer) -> bool:
+    """An nn.layers.linear parameter dict: {"w": 2-D [, "b": 1-D]}."""
+    return (isinstance(layer, dict) and "w" in layer
+            and getattr(layer["w"], "ndim", 0) == 2
+            and set(layer) <= {"w", "b"})
 
-    * stacked expert params  (celeba19: leading axis == n_experts)  -> P("model", ...)
-    * hidden 512x512 matmuls: alternate column/row sharding by depth  -> handled
-      via the simple rule: 2-D weight matrices shard their LARGEST axis over
-      "model" when divisible; biases replicate.
+
+def mlp_specs_megatron(layers, msize: int):
+    """Megatron-style pairing for a list of consecutive linear layers.
+
+    Returns one {"w": P, "b": P} per layer: layer k column-parallel
+    (P(None, "model"), bias P("model")) and layer k+1 row-parallel
+    (P("model", None), bias P() — applied after the psum), alternating down
+    the stack. The swish between a pair is elementwise, so the intermediate
+    activation stays feature-sharded and GSPMD inserts exactly one
+    all-reduce per pair (after the row layer). A layer whose paired feature
+    axis is not divisible by `msize` replicates and RESTARTS the pairing at
+    "column" — partial sharding of a ragged axis would force gather/scatter
+    traffic worth more than the matmul.
     """
-    shape = getattr(leaf, "shape", ())
-    if "experts" in path and len(shape) >= 1:
+    specs, col = [], True
+    for layer in layers:
+        out_ax, in_ax = layer["w"].shape[1], layer["w"].shape[0]
+        if col and out_ax % msize == 0:
+            specs.append({"w": P(None, "model"), "b": P("model")})
+            col = False
+        elif not col and in_ax % msize == 0:
+            specs.append({"w": P("model", None), "b": P()})
+            col = True
+        else:
+            specs.append({"w": P(), "b": P()})
+            col = True
+        specs[-1] = {k: v for k, v in specs[-1].items() if k in layer}
+    return specs
+
+
+def tp_spec_tree(params, msize: int, path: str = ""):
+    """The full TP placement (a pytree of PartitionSpec mirroring `params`).
+
+    * lists/tuples of linear layers (nn.layers.mlp_init stacks) ->
+      Megatron column/row pairing (mlp_specs_megatron);
+    * stacked expert params (path contains "experts", celeba19's 18
+      attribute nets) -> leading expert axis over "model" when divisible;
+    * everything else (conv kernels, embedding tables, BN params, lone
+      linears) -> replicated.
+    """
+    if isinstance(params, (list, tuple)) and len(params) > 0 \
+            and all(_is_linear(e) for e in params):
+        return type(params)(mlp_specs_megatron(params, msize))
+    if isinstance(params, dict):
+        return {k: tp_spec_tree(v, msize, f"{path}/{k}")
+                for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(tp_spec_tree(v, msize, f"{path}[{i}]")
+                            for i, v in enumerate(params))
+    shape = getattr(params, "shape", ())
+    if "experts" in path and len(shape) >= 1 and shape[0] % msize == 0:
         return P("model")
-    if len(shape) == 2:
-        ax = int(np.argmax(shape))
-        if shape[ax] % 2 == 0:
-            spec = [None, None]
-            spec[ax] = "model"
-            return P(*spec)
     return P()
 
 
 def shard_params_tp(params, mesh):
-    """Place a parameter pytree with the TP heuristic over `mesh`."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    treedef = jax.tree_util.tree_structure(params)
-    leaves = []
-    for path, leaf in flat:
-        pstr = "/".join(re.sub(r"[^a-zA-Z0-9_]", "", str(k)) for k in path)
-        spec = _spec_for(pstr, leaf)
-        try:
-            leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
-        except ValueError:
-            leaves.append(jax.device_put(leaf, NamedSharding(mesh, P())))
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    """Place a parameter pytree over `mesh` per tp_spec_tree."""
+    specs = tp_spec_tree(params, mesh.shape["model"])
+    return jax.tree_util.tree_map(
+        lambda spec, leaf: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        specs, params, is_leaf=lambda s: isinstance(s, P))

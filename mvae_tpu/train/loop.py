@@ -33,7 +33,8 @@ def _static_support(term_masks, term_lambdas, recon_masks):
 def make_train_step(model, tx, term_masks, term_lambdas, *,
                     dynamic_masks: bool = False, device_data: bool = False,
                     recon_masks=None, recon_support=None,
-                    fast_skip_decode: bool = False):
+                    fast_skip_decode: bool = False,
+                    grouped_term_loss=None):
     """Build the jitted training step.
 
     term_masks/term_lambdas: (T, M) arrays. With dynamic_masks=True the step
@@ -41,6 +42,10 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
     subset terms change every step — celeba19/train.py:286-302).
     recon_masks: optional (T, M) reconstruction mask decoupled from the
     posterior mask (vision; see core/engine.py:multi_term_elbo).
+    grouped_term_loss: tri-state for the grouped term-loss fusion —
+    True/False pin it; None (default) defers to MVAE_GROUPED_TERM_LOSS,
+    which is read at step-BUILD time (engine.grouped_term_loss_default):
+    flipping the env var after this function returns has no effect.
 
     device_data=True: the `batch` argument becomes (data, idx) where `data`
     is the FULL dataset resident on device and idx the (B,) batch indices —
@@ -76,7 +81,8 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
                 model, p, state, batch_, masks, lambdas, sub, beta,
                 train=True, recon_masks=rmasks,
                 recon_support=recon_support,
-                fast_skip_decode=fast_skip_decode)
+                fast_skip_decode=fast_skip_decode,
+                grouped_term_loss=grouped_term_loss)
             return total, (aux, new_state)
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
@@ -109,7 +115,8 @@ def gather_local(data, idx):
 def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
                           dynamic_masks: bool = False, recon_masks=None,
                           recon_support=None,
-                          fast_skip_decode: bool = False):
+                          fast_skip_decode: bool = False,
+                          grouped_term_loss=None):
     """K training steps in ONE dispatch via lax.scan over the batch-index
     windows — the device-resident pipeline's outer loop.
 
@@ -155,7 +162,8 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
                 total, aux, new_state = multi_term_elbo(
                     model, pp, s, batch, m, lam, sub, beta, train=True,
                     recon_masks=rmasks, recon_support=recon_support,
-                    fast_skip_decode=fast_skip_decode)
+                    fast_skip_decode=fast_skip_decode,
+                    grouped_term_loss=grouped_term_loss)
                 return total, new_state
 
             (loss, new_state), grads = jax.value_and_grad(

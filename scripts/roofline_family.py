@@ -36,6 +36,7 @@ from bench_families import FAMILIES                            # noqa: E402
 from mvae_tpu.train.loop import make_multi_train_step          # noqa: E402
 
 V5E_BF16_TFLOPS = 197.0
+V5E_F32_TFLOPS = 98.5   # v5e f32 matmul peak is ~half the bf16 rate
 V5E_HBM_GBPS = 819.0
 
 
@@ -81,8 +82,13 @@ def categorize(name):
         return "copies (prefetch waits / loop-carry / layout)"
     if "convolution" in name:
         return "convolution (unfused)"
-    if "multiply_add_fusion" in name and re.search(
-            r"= \(?(f32|bf16)\[[2-9],[2-9],", name):
+    # weight-grad outputs are kernel-shaped (4,4,Cin,Cout / 5,5,... /
+    # up to 16,16 fused variants); activation tensors lead with the batch
+    # (50/100 in every bench window), so bound the dims instead of only
+    # matching single digits (ADVICE r3: \[[2-9],[2-9], missed [16,16,...])
+    m = re.search(r"= \(?(?:f32|bf16)\[(\d+),(\d+),", name)
+    if ("multiply_add_fusion" in name and m
+            and 2 <= int(m.group(1)) <= 16 and 2 <= int(m.group(2)) <= 16):
         return "conv weight-grad fusions (MXU)"
     if "multiply_reduce_fusion" in name:
         return "BN moment/grad reductions"
@@ -105,8 +111,17 @@ def analyze_trace(trace_dir, n_steps, top=0):
     if not pbs:
         raise SystemExit(f"no xplane.pb under {trace_dir}")
     p = ProfileData.from_file(pbs[-1])
-    plane = [pl for pl in p.planes if "TPU" in pl.name][0]
+    tpu_planes = [pl for pl in p.planes if "TPU" in pl.name]
+    if not tpu_planes:
+        raise SystemExit(
+            "no TPU plane in trace — run on the TPU host (this script "
+            "analyzes device op events, not CPU traces)")
+    plane = tpu_planes[0]
     lines = {ln.name: list(ln.events) for ln in plane.lines}
+    if "XLA Modules" not in lines or "XLA Ops" not in lines:
+        raise SystemExit(
+            "trace has a TPU plane but no 'XLA Modules'/'XLA Ops' lines — "
+            "the traced window executed nothing on the device")
     module_ms = sum(e.duration_ns for e in lines["XLA Modules"]) / 1e6
     print(f"module execution: {module_ms:.2f} ms "
           f"(K={n_steps} steps -> {module_ms / n_steps:.3f} ms/step)")
@@ -133,16 +148,18 @@ def analyze_trace(trace_dir, n_steps, top=0):
     return module_ms / n_steps
 
 
-def cost_roofline(lower_one, ms_per_step):
+def cost_roofline(lower_one, ms_per_step, bf16=True):
     ca = lower_one().compile().cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
     gflop = ca["flops"] / 1e9
     gb = ca["bytes accessed"] / 1e9
     t = ms_per_step / 1e3
+    peak = V5E_BF16_TFLOPS if bf16 else V5E_F32_TFLOPS
+    label = "bf16" if bf16 else "f32"
     print(f"FLOPs/step: {gflop:.1f} G -> {gflop / 1e3 / t:.1f} TFLOPs "
-          f"sustained = {100 * gflop / 1e3 / t / V5E_BF16_TFLOPS:.0f}% of "
-          f"v5e bf16 peak")
+          f"sustained = {100 * gflop / 1e3 / t / peak:.0f}% of "
+          f"v5e {label} peak ({peak:.1f} TFLOPs)")
     print(f"HLO 'bytes accessed'/step: {gb:.2f} GB (upper bound; "
           f"double-counts fusion-internal operands) -> would need "
           f"{gb / V5E_HBM_GBPS * 1e3:.2f} ms at {V5E_HBM_GBPS:.0f} GB/s; "
@@ -168,7 +185,7 @@ def main():
         float(losses[-1])
     print(f"trace: {trace_dir}")
     ms = analyze_trace(trace_dir, ns.k, top=ns.top)
-    cost_roofline(lower_one, ms)
+    cost_roofline(lower_one, ms, bf16=ns.bf16)
 
 
 if __name__ == "__main__":
