@@ -32,7 +32,9 @@ def load_condition(path, ctype):
     if ctype == "gray":
         return np.asarray(T.rgb_to_grayscale(jnp.asarray(rgb)))
     if ctype == "edge":
-        return np.asarray(T.canny_edges(jnp.asarray(rgb)))
+        # absolute = training-data semantics (data/vision.py canny_mode)
+        return np.asarray(T.canny_edges(jnp.asarray(rgb),
+                                        threshold_mode="absolute"))
     if ctype == "mask":
         g = np.asarray(T.rgb_to_grayscale(jnp.asarray(rgb)))
         return 1.0 - g                    # invert like training (:87)

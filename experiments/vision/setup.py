@@ -36,11 +36,12 @@ def build_grayscale_dataset(in_dir, out_dir):
         write_png(os.path.join(out_dir, name), g)
 
 
-def build_edge_dataset(in_dir, out_dir):
+def build_edge_dataset(in_dir, out_dir, canny_mode='absolute'):
     import jax.numpy as jnp
     for name, img in _iter_images(in_dir):
         rgb = np.asarray(img, np.float32)[None] / 255.0
-        e = np.asarray(T.canny_edges(jnp.asarray(rgb), sigma=2.0))[0, ..., 0]
+        e = np.asarray(T.canny_edges(jnp.asarray(rgb), sigma=2.0,
+                                     threshold_mode=canny_mode))[0, ..., 0]
         write_png(os.path.join(out_dir, name), e)
 
 
@@ -62,12 +63,17 @@ def main(argv=None):
     p.add_argument('out_dir', type=str)
     p.add_argument('--landmarks', type=str, default=None,
                    help='npz of filename -> (68,2) landmark points (mask only)')
+    p.add_argument('--canny-mode', choices=['absolute', 'relative'],
+                   default='absolute',
+                   help="edge thresholds: 'absolute' = skimage defaults "
+                        "(reference parity, vision/setup.py:72); 'relative' "
+                        "scales 0.1/0.2 by each image's max gradient")
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     if args.type == 'grayscale':
         build_grayscale_dataset(args.in_dir, args.out_dir)
     elif args.type == 'edge':
-        build_edge_dataset(args.in_dir, args.out_dir)
+        build_edge_dataset(args.in_dir, args.out_dir, args.canny_mode)
     else:
         build_mask_dataset(args.in_dir, args.out_dir, args.landmarks)
     print(f"wrote {args.type} variants to {args.out_dir}")

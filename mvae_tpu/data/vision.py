@@ -60,10 +60,17 @@ def synthetic_landmarks(h=64, w=64, seed=0):
 
 
 def derive_modalities(rgb: np.ndarray, *, masks: np.ndarray = None,
-                      seed: int = 0, data_dir: str = None) -> dict:
+                      seed: int = 0, data_dir: str = None,
+                      canny_mode: str = "absolute") -> dict:
     """rgb: (N, 64, 64, 3) float32 [0,1] -> dict of all six modalities.
     Gray/edge/obscure/watermark run as jitted jax kernels on the default
-    device; the landmark mask rasterizes on host (or uses precomputed)."""
+    device; the landmark mask rasterizes on host (or uses precomputed).
+
+    canny_mode="absolute" (default) is skimage.feature.canny's threshold
+    semantics — what the reference's offline edge stage produced
+    (vision/setup.py:72,161), so on-device derivation agrees with any
+    reference-precomputed edge dir. "relative" self-scales per image
+    (image/transforms.py:canny_edges)."""
     import jax
     import jax.numpy as jnp
     from mvae_tpu.image import transforms as T
@@ -77,7 +84,7 @@ def derive_modalities(rgb: np.ndarray, *, masks: np.ndarray = None,
     def derive(x):
         return {
             "gray": T.rgb_to_grayscale(x),
-            "edge": T.canny_edges(x),
+            "edge": T.canny_edges(x, threshold_mode=canny_mode),
             "obscured": T.obscure(x),
             "watermark": T.alpha_composite(x, wm),
         }

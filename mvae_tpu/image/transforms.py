@@ -7,10 +7,12 @@ Here every transform is a JAX kernel (batched, fusable, runs on TPU), so
 the 6-modality pipeline can be derived from the RGB source on device:
 
   grayscale: ITU-R 601-2 luminance (PIL 'L' convert) — a 3-vector contraction.
-  canny:     separable Gaussian blur (sigma=2, skimage default invocation at
-             vision/setup.py:161) -> Sobel -> direction-quantized non-max
-             suppression -> double threshold + fixed-iteration hysteresis
-             dilation (compiler-friendly bounded loop).
+  canny:     separable Gaussian blur with constant-mode bleed-over
+             normalization (sigma=2, skimage default invocation at
+             vision/setup.py:161) -> Sobel -> gradient-interpolated non-max
+             suppression (skimage octant semantics) -> double threshold +
+             hysteresis grown to fixpoint (lax.while_loop; exact
+             8-connected-component semantics) or a bounded dilation loop.
   obscure:   zero the right half of the WIDTH axis — the reference's
              obscure_image (vision/datasets.py:97-111) indexes axis 1 of an
              (H, W, C) array, i.e. columns, despite its "half height"
@@ -77,47 +79,115 @@ def _conv3(x, k):
         [(1, 1), (1, 1)], dimension_numbers=dims)[..., 0]
 
 
+def _interp_nms(mag, gy, gx):
+    """skimage-style interpolated non-max suppression on (B, H, W).
+
+    Per pixel the gradient (gy = d/drow, gx = d/dcol) selects one of four
+    octant-pairs; the magnitude along +/- the gradient direction is LINEARLY
+    INTERPOLATED between the two adjacent lattice neighbors (weight
+    w = min|g|/max|g|) and the pixel survives iff its own magnitude is >=
+    both interpolated values. This is the published skimage.feature.canny
+    NMS (the reference's edge stage, vision/setup.py:72 with defaults), not
+    the cruder 4-way direction quantization. Borders and zero-gradient
+    pixels are excluded, as skimage's eroded mask does."""
+    ai, aj = jnp.abs(gy), jnp.abs(gx)
+
+    def s(dy, dx):   # out[y, x] = mag[y + dy, x + dx] (wrap; border masked)
+        return jnp.roll(mag, (-dy, -dx), axis=(1, 2))
+
+    m_d, m_u, m_r, m_l = s(1, 0), s(-1, 0), s(0, 1), s(0, -1)
+    m_dr, m_ul, m_ur, m_dl = s(1, 1), s(-1, -1), s(-1, 1), s(1, -1)
+
+    w1 = jnp.where(ai > 0, aj / jnp.where(ai > 0, ai, 1.0), 0.0)  # aj <= ai
+    w2 = jnp.where(aj > 0, ai / jnp.where(aj > 0, aj, 1.0), 0.0)  # ai <= aj
+
+    def keep(w, c1p, c2p, c1m, c2m):
+        return ((c2p * w + c1p * (1.0 - w) <= mag)
+                & (c2m * w + c1m * (1.0 - w) <= mag))
+
+    same = ((gy >= 0) & (gx >= 0)) | ((gy <= 0) & (gx <= 0))
+    opp = ((gy <= 0) & (gx >= 0)) | ((gy >= 0) & (gx <= 0))
+    # octants in skimage's processing order (later writes win on ties -> the
+    # LAST matching case takes priority, so select() sees them reversed)
+    cases = [
+        (opp & (ai >= aj), keep(w1, m_u, m_ur, m_d, m_dl)),    # 135-180
+        (opp & (ai <= aj), keep(w2, m_r, m_ur, m_l, m_dl)),    # 90-135
+        (same & (ai <= aj), keep(w2, m_r, m_dr, m_l, m_ul)),   # 45-90
+        (same & (ai >= aj), keep(w1, m_d, m_dr, m_u, m_ul)),   # 0-45
+    ]
+    out = jnp.select([c for c, _ in cases], [k for _, k in cases],
+                     jnp.zeros((), bool))
+    h, w = mag.shape[1], mag.shape[2]
+    interior = ((jnp.arange(h) % (h - 1) != 0)[:, None]
+                & (jnp.arange(w) % (w - 1) != 0)[None, :])
+    return out & (mag > 0) & interior
+
+
 def canny_edges(img, sigma: float = 2.0, low: float = 0.1, high: float = 0.2,
-                hysteresis_iters: int = 8):
+                hysteresis_iters=None, threshold_mode: str = "relative"):
     """Batched Canny. img: (B, H, W, 1) or (B, H, W, 3) in [0,1].
     Returns (B, H, W, 1) binary edges {0,1}.
 
-    low/high thresholds are fractions of each image's max gradient
-    (skimage uses absolute defaults 0.1/0.2 on [0,1] data after blur;
-    per-image max scaling keeps synthetic + real data behaving)."""
+    threshold_mode:
+      * "relative" (default): low/high are fractions of each image's max
+        gradient — per-image scaling keeps synthetic + real data behaving.
+      * "absolute": low/high are absolute gradient-magnitude thresholds,
+        matching skimage.feature.canny's defaults (0.1/0.2) — the exact
+        semantics the reference's offline edge stage used
+        (vision/setup.py:72,161: feature.canny(gray/255, sigma=2)). Use
+        this to regenerate/match reference-precomputed edge directories
+        (PARITY.md "Deliberate divergences"; oracle-checked against a
+        scipy.ndimage reimplementation in tests/test_image_transforms.py).
+
+    hysteresis_iters: None (default) grows strong edges into weak ones to
+    FIXPOINT via lax.while_loop — exact 8-connected hysteresis, skimage's
+    connected-component semantics. An int bounds the dilation loop instead
+    (compiler-static, for pipelines that must avoid while_loop)."""
     if img.shape[-1] == 3:
         img = rgb_to_grayscale(img)
-    g = _sep_blur(img[..., 0], sigma)                         # (B, H, W)
+    x = img[..., 0]
+    # constant-mode bleed-over normalization: skimage smooths with cval=0
+    # and divides by the blurred all-ones mask so borders aren't darkened
+    g = _sep_blur(x, sigma) / _sep_blur(jnp.ones_like(x), sigma)
     gx, gy = _conv3(g, _SOBEL_X), _conv3(g, _SOBEL_Y)
     mag = jnp.sqrt(gx * gx + gy * gy)
 
-    # non-max suppression with direction quantized to 0/45/90/135 degrees
-    ang = jnp.arctan2(gy, gx)                                  # [-pi, pi]
-    d = jnp.mod(jnp.round(ang / (jnp.pi / 4.0)), 4).astype(jnp.int32)
+    keep = _interp_nms(mag, gy, gx)
+
+    if threshold_mode == "absolute":
+        lo_t, hi_t = low, high
+    elif threshold_mode == "relative":
+        # peak over NMS-surviving pixels (borders excluded), so the scale
+        # reflects actual candidate edges, not crop/pad boundary gradients
+        peak = jnp.max(jnp.where(keep, mag, 0.0), axis=(1, 2),
+                       keepdims=True) + 1e-12
+        lo_t, hi_t = low * peak, high * peak
+    else:
+        raise ValueError(f"threshold_mode={threshold_mode!r} "
+                         "(want 'relative' or 'absolute')")
+    strong = keep & (mag >= hi_t)
+    weak = keep & (mag >= lo_t)
 
     def shift(a, dy, dx):
         return jnp.roll(jnp.roll(a, dy, axis=1), dx, axis=2)
 
-    n0a, n0b = shift(mag, 0, 1), shift(mag, 0, -1)             # horizontal
-    n1a, n1b = shift(mag, 1, 1), shift(mag, -1, -1)            # 45
-    n2a, n2b = shift(mag, 1, 0), shift(mag, -1, 0)             # vertical
-    n3a, n3b = shift(mag, 1, -1), shift(mag, -1, 1)            # 135
-    na = jnp.select([d == 0, d == 1, d == 2, d == 3], [n0a, n1a, n2a, n3a])
-    nb = jnp.select([d == 0, d == 1, d == 2, d == 3], [n0b, n1b, n2b, n3b])
-    keep = (mag >= na) & (mag >= nb)
-
-    peak = jnp.max(mag, axis=(1, 2), keepdims=True) + 1e-12
-    strong = keep & (mag >= high * peak)
-    weak = keep & (mag >= low * peak)
-
-    # hysteresis: grow strong edges into weak ones (bounded dilation loop)
-    def grow(s, _):
+    def grow(s):
         dil = (s | shift(s, 0, 1) | shift(s, 0, -1) | shift(s, 1, 0)
                | shift(s, -1, 0) | shift(s, 1, 1) | shift(s, 1, -1)
                | shift(s, -1, 1) | shift(s, -1, -1))
-        return dil & weak | s, None
+        return dil & weak | s
 
-    strong, _ = jax.lax.scan(grow, strong, None, length=hysteresis_iters)
+    if hysteresis_iters is None:
+        def body(c):
+            s, _ = c
+            ns = grow(s)
+            return ns, jnp.any(ns != s)
+
+        strong, _ = jax.lax.while_loop(
+            lambda c: c[1], body, (strong, jnp.asarray(True)))
+    else:
+        strong, _ = jax.lax.scan(lambda s, _: (grow(s), None), strong,
+                                 None, length=hysteresis_iters)
     return strong.astype(jnp.float32)[..., None]
 
 
