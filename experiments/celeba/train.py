@@ -26,7 +26,8 @@ def main(argv=None):
         bf16_default=True,
     ).parse_args(argv)
     train_ds = load_celeba(args.data_dir, 'train',
-                           exact_decode=args.exact_decode)
+                           exact_decode=args.exact_decode,
+                           download=args.download)
     test_ds = load_celeba(args.data_dir, 'val',   # reference evals on val
                           exact_decode=args.exact_decode)
     import jax.numpy as jnp

@@ -38,6 +38,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     train_ds = load_celeba(args.data_dir, 'train',
+                           download=args.download,
                            exact_decode=args.exact_decode)
     test_ds = load_celeba(args.data_dir, 'val',
                           exact_decode=args.exact_decode)

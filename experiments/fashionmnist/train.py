@@ -25,9 +25,11 @@ def main(argv=None):
                         # 2.8-4.1% seed spread); --f32 for exact numerics
                         bf16_default=True).parse_args(argv)
     train_ds = load_mnist(args.data_dir, train=True,
-                          variant="FashionMNIST", flatten=False)
+                          variant="FashionMNIST", flatten=False,
+                          download=args.download)
     test_ds = load_mnist(args.data_dir, train=False,
-                         variant="FashionMNIST", flatten=False)
+                         variant="FashionMNIST", flatten=False,
+                         download=args.download)
     import jax.numpy as jnp
     model = FashionMnistMVAE(args.n_latents,
                              compute_dtype=jnp.bfloat16 if args.bf16 else None)

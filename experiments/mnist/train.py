@@ -23,8 +23,10 @@ def main(argv=None):
     # torch baseline, inside the torch side's own 6.5% seed spread)
     args = train_parser(n_latents=64, epochs=500, annealing_epochs=200,
                         lr=1e-3, bf16_default=True).parse_args(argv)
-    train_ds = load_mnist(args.data_dir, train=True)
-    test_ds = load_mnist(args.data_dir, train=False)
+    train_ds = load_mnist(args.data_dir, train=True,
+                          download=args.download)
+    test_ds = load_mnist(args.data_dir, train=False,
+                         download=args.download)
     import jax.numpy as jnp
     model = MnistMVAE(args.n_latents,
                       compute_dtype=jnp.bfloat16 if args.bf16 else None)

@@ -22,8 +22,10 @@ def main(argv=None):
                         # (0.45-0.56% vs torch, same order as f32's gaps
                         # and inside the seed spread); --f32 for exact
                         bf16_default=True).parse_args(argv)
-    train_ds = load_multimnist(args.data_dir, train=True)
-    test_ds = load_multimnist(args.data_dir, train=False)
+    train_ds = load_multimnist(args.data_dir, train=True,
+                               download=args.download)
+    test_ds = load_multimnist(args.data_dir, train=False,
+                              download=args.download)
     import jax.numpy as jnp
     model = MultiMnistMVAE(args.n_latents,
                            compute_dtype=jnp.bfloat16 if args.bf16 else None)

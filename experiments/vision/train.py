@@ -59,7 +59,8 @@ def main(argv=None):
                         # gap (PARITY_convergence.json vision@bf16)
                         bf16_default=True).parse_args(argv)
     train_ds = load_celeb_vision(args.data_dir, 'train',
-                                 exact_decode=args.exact_decode)
+                                 exact_decode=args.exact_decode,
+                                 download=args.download)
     test_ds = load_celeb_vision(args.data_dir, 'val',
                                 exact_decode=args.exact_decode)
     import jax.numpy as jnp

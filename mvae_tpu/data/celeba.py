@@ -85,9 +85,14 @@ def _resize_center_crop_64(img):
 
 
 def load_celeba(data_dir='./data', partition='train', *, synthetic_ok=True,
-                max_examples=None, synthetic_n=None, exact_decode=False):
+                max_examples=None, synthetic_n=None, exact_decode=False,
+                download=False):
     """Returns ArrayDataset with image (N,64,64,3) float32 [0,1] and
     attrs (N,18) float32 {0,1}.
+
+    download=True: CelebA has NO programmatic download (the official
+    distribution is interactive Google-Drive hosting; the reference also
+    required a manual fetch) — prints placement guidance instead.
 
     exact_decode=True forces the PIL decode path (exact torchvision pixel
     semantics) instead of the native libjpeg fast path, whose DCT-prescaled
@@ -95,6 +100,12 @@ def load_celeba(data_dir='./data', partition='train', *, synthetic_ok=True,
     reference-parity runs on real data (wired as --exact-decode on the
     celeba/celeba19/vision train CLIs)."""
     eval_file = os.path.join(data_dir, 'Eval/list_eval_partition.txt')
+    if download and not os.path.isfile(eval_file):
+        print("[mvae_tpu] --download: CelebA is Google-Drive hosted with no "
+              "stable programmatic URL (the reference required a manual "
+              f"fetch too). Place under {data_dir}: Eval/"
+              "list_eval_partition.txt, Anno/list_attr_celeba.txt, and "
+              "img_align_celeba/*.jpg — proceeding without.")
     if os.path.isfile(eval_file):
         from mvae_tpu.data import native
         paths = load_eval_partition(partition, data_dir)

@@ -43,7 +43,16 @@ def _find(raw_dir, stem):
 
 
 def load_mnist(root="./data", train=True, *, variant="MNIST",
-               flatten=True, synthetic_ok=True):
+               flatten=True, synthetic_ok=True, download=False):
+    if download:
+        # reference parity: torchvision download-once (mnist/train.py:159);
+        # FashionMNIST only swaps the URL table (fashionmnist/datasets.py)
+        from mvae_tpu.data.download import download_idx, DownloadError
+        try:
+            download_idx(root, variant)
+        except (DownloadError, OSError) as e:
+            print(f"[mvae_tpu] --download failed ({e}); "
+                  "falling back to local files / synthetic data")
     raw = os.path.join(root, variant, "raw")
     img_stem, lab_stem = _FILES[train]
     ip, lp = _find(raw, img_stem), _find(raw, lab_stem)

@@ -200,10 +200,22 @@ def make_dataset(root="./data", *, n_train=60000, n_test=10000,
     return out_dir
 
 
-def load_multimnist(root="./data", train=True, *, generate_n=None):
-    """Load cached shards; auto-generate a small set if absent."""
+def load_multimnist(root="./data", train=True, *, generate_n=None,
+                    download=False):
+    """Load cached shards; auto-generate a small set if absent.
+
+    download=True fetches the source MNIST archives first (the generator
+    composites real digits when they exist — reference flow:
+    multimnist/datasets.py builds from torchvision-downloaded MNIST)."""
     split = "training" if train else "test"
     path = os.path.join(root, "multimnist", f"{split}.npz")
+    if download and not os.path.exists(path):
+        from mvae_tpu.data.download import download_idx, DownloadError
+        try:
+            download_idx(root, "MNIST")
+        except (DownloadError, OSError) as e:
+            print(f"[mvae_tpu] --download failed ({e}); generating from "
+                  "local/synthetic MNIST instead")
     if not os.path.exists(path):
         n_train = generate_n or 2000
         print(f"[mvae_tpu.data] MultiMNIST: no shards at {path!r} — "

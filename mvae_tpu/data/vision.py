@@ -123,9 +123,10 @@ def _load_precomputed_masks(data_dir, paths):
 
 def load_celeb_vision(data_dir='./data', partition='train', *,
                       synthetic_ok=True, max_examples=None,
-                      exact_decode=False):
+                      exact_decode=False, download=False):
     base = load_celeba(data_dir, partition, synthetic_ok=synthetic_ok,
-                       max_examples=max_examples, exact_decode=exact_decode)
+                       max_examples=max_examples, exact_decode=exact_decode,
+                       download=download)
     rgb = base.arrays["image"]
     masks = None
     eval_file = os.path.join(data_dir, 'Eval/list_eval_partition.txt')

@@ -44,6 +44,11 @@ def train_parser(*, n_latents, epochs, annealing_epochs, lr, batch_size=100,
                    help='force the PIL-exact image decode path for real '
                         'CelebA ingest (reference pixel semantics) instead '
                         'of the faster native libjpeg path')
+    p.add_argument('--download', action='store_true', default=False,
+                   help='fetch the dataset archives (reference URL tables, '
+                        'MD5-verified) into --data-dir if missing; degrades '
+                        'with a clear message when the environment has no '
+                        'egress (data/download.py)')
     return p
 
 

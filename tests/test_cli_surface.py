@@ -94,7 +94,7 @@ def test_train_surface(grab_parser, family):
             f"{ref_default}")
     # our additions must not shadow/rename any reference flag
     for extra in ("resume", "seed", "data_dir", "out_dir", "profile_dir",
-                  "bf16", "no_device_data", "exact_decode"):
+                  "bf16", "no_device_data", "exact_decode", "download"):
         assert extra in surf, f"{family} train.py lost our --{extra}"
 
 
