@@ -59,14 +59,32 @@ def conv_stack_apply(params, state, specs, x, *, train, dtype=None):
     new_state = []
     if dtype is not None:
         x = x.astype(dtype)
+    fused_moments = train and _convbn_pallas()
     for p, st, (_c, kern, s, pad, bn) in zip(params, state, specs):
-        x = conv2d(_cast(p["conv"], dtype), x, stride=s, padding=pad)
+        cp = _cast(p["conv"], dtype)
+        if bn and fused_moments and "b" not in cp:
+            from mvae_tpu.ops.convbn_pallas import conv2d_moments, supported
+            from mvae_tpu.nn.norm import batchnorm_swish_from_moments
+            if supported(x.shape, kern, s, pad):
+                y, ms, mq = conv2d_moments(x, cp["w"], s, pad)
+                x, st = batchnorm_swish_from_moments(p["bn"], st, y, ms, mq)
+                new_state.append(st)
+                continue
+        x = conv2d(cp, x, stride=s, padding=pad)
         if bn:
             x, st = batchnorm_swish_apply(p["bn"], st, x, train=train)
         else:
             x = swish(x)
         new_state.append(st)
     return x, new_state
+
+
+def _convbn_pallas() -> bool:
+    """MVAE_CONVBN_PALLAS=1 (trace-time read, single-device only): route
+    BN'd convs through the fused conv+moments Pallas kernel
+    (ops/convbn_pallas.py) so the BN moment reduction pass disappears."""
+    from mvae_tpu.ops.convbn_pallas import use_convbn_pallas
+    return use_convbn_pallas()
 
 
 def deconv_stack_init(key, c_in, specs):

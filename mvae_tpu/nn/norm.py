@@ -102,6 +102,30 @@ def batchnorm_apply(params, state, x, *, train: bool,
     return y, new_state
 
 
+def batchnorm_swish_from_moments(params, state, x, s, q, *,
+                                 momentum: float = BN_MOMENTUM,
+                                 eps: float = 1e-5, out_dtype=None):
+    """Train-mode BN+swish when the batch moment SUMS arrived with x (the
+    fused conv epilogue, ops/convbn_pallas.py): s = sum(x), q = sum(x*x)
+    per channel, f32. Identical EMA/normalize semantics to the one-pass
+    branch of batchnorm_apply — the reduction is just already done."""
+    from mvae_tpu.nn.layers import swish
+    if out_dtype is None:
+        out_dtype = x.dtype
+    n = x.size // x.shape[-1]
+    mean = s / n
+    var = jnp.maximum(q / n - mean * mean, 0.0)
+    unbiased = var * (n / max(n - 1, 1))
+    new_state = {
+        "mean": (1 - momentum) * state["mean"] + momentum * mean,
+        "var": (1 - momentum) * state["var"] + momentum * unbiased,
+    }
+    inv = jnp.reciprocal(jnp.sqrt(var + eps))
+    a = inv * params["scale"]
+    y = x.astype(jnp.float32) * a + (params["bias"] - mean * a)
+    return swish(y.astype(out_dtype)), new_state
+
+
 def batchnorm_swish_apply(params, state, x, *, train: bool,
                           momentum: float = BN_MOMENTUM, eps: float = 1e-5,
                           out_dtype=None):
