@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # opt-in Pallas BN kernel suite
+
 from mvae_tpu.nn.layers import swish
 from mvae_tpu.nn.norm import batchnorm_apply
 from mvae_tpu.ops.bn_pallas import bn_swish_train

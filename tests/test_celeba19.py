@@ -5,6 +5,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from mvae_tpu.core.engine import multi_term_elbo
@@ -22,6 +23,7 @@ def _batch(b=4, seed=0):
                 (rng.random((b, N_ATTRS)) < 0.4).astype(np.float32))}
 
 
+@pytest.mark.slow
 def test_stacked_attr_encoder_matches_per_expert_loop():
     model = Celeba19MVAE(8)
     params, state = model.init(jax.random.key(0))
@@ -94,6 +96,7 @@ def test_term_count_invariant():
     assert static_l[0, 0] == 2.0 and static_l[0, 1] == 5.0
 
 
+@pytest.mark.slow
 def test_recon_support_grouped_decode_matches_ungrouped():
     """Dead-backward elimination (engine._decode_grouped) must not change
     loss values, per-term ELBOs, committed BN states, or gradients — terms
@@ -132,6 +135,7 @@ def test_recon_support_grouped_decode_matches_ungrouped():
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grouped_term_loss_fusion_matches_concat_form(monkeypatch):
     """MVAE_GROUPED_TERM_LOSS=1 (default) computes recon_losses INSIDE each
     decode group so only (B, M) loss rows cross the group concat — the
@@ -171,6 +175,7 @@ def test_grouped_term_loss_fusion_matches_concat_form(monkeypatch):
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gathered_expert_decode_matches_full():
     """Terms whose static support needs k < 18 attr experts decode with
     per-term GATHERED expert params (model.decode_group_key /
@@ -220,6 +225,7 @@ def test_gathered_expert_decode_matches_full():
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fast_skip_decode_same_loss_and_grads():
     """--fast-term-decode skips the image decode for attr-only terms: the
     loss, per-term ELBOs, and gradients are exactly unchanged (the skipped
@@ -260,6 +266,7 @@ def test_fast_skip_decode_same_loss_and_grads():
     assert not np.allclose(img0, img1)
 
 
+@pytest.mark.slow
 def test_celeba19_full_step_21_terms():
     model = Celeba19MVAE(8)
     params, state = model.init(jax.random.key(0))
@@ -274,6 +281,7 @@ def test_celeba19_full_step_21_terms():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_celeba19_masked_term_ignores_masked_losses():
     """An attr-only term's loss must not change when the image changes."""
     model = Celeba19MVAE(8)

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # opt-in Pallas conv+BN kernel suite
+
 from mvae_tpu.nn.conv import conv2d
 from mvae_tpu.ops.convbn_pallas import conv2d_moments, supported
 

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # opt-in phased-deconv experiment suite
+
 from mvae_tpu.nn import conv
 
 # (k, s, p, H, c_in, c_out): every transposed-conv shape family the six

@@ -24,6 +24,7 @@ def _batch(n=64):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dp_step_matches_single_device():
     model = MnistMVAE(8)
     params, state = model.init(jax.random.key(0))
@@ -72,6 +73,7 @@ def test_tp_sharded_params_same_eval():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_ep_sharded_gather_decode_matches_single_device():
     """celeba19's per-term expert-gather decode (engine decode_group_key)
     under dp x ep: the stacked attr-expert params shard their leading

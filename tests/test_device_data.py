@@ -5,6 +5,7 @@ f32/255."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from mvae_tpu.data.mnist import synthetic_mnist
@@ -23,6 +24,7 @@ def test_decode_batch_uint8():
     assert decode_batch({"attrs": f})["attrs"] is f
 
 
+@pytest.mark.slow
 def test_device_data_step_matches_host_step():
     model = MnistMVAE(8)
     params, state = model.init(jax.random.key(0))

@@ -6,6 +6,7 @@ shards over all 8 on "data"; batch 100 gives a dp=4 x tp=2 decomposition
 slice); gcd=1 degenerates to pure tensor parallelism."""
 
 import numpy as np
+import pytest
 
 from mvae_tpu.data.mnist import synthetic_mnist
 from mvae_tpu.data.pipeline import ArrayDataset
@@ -16,6 +17,7 @@ def _tiny(n, seed):
     return ArrayDataset({"image": imgs.reshape(n, 28, 28, 1), "text": labels})
 
 
+@pytest.mark.slow
 def test_device_data_training_runs_and_checkpoints(tmp_path, capsys):
     """batch 25 on 8 devices: gcd=1 -> pure 8-way tensor parallel; the
     device-resident pipeline stays active (n_shards=1)."""
@@ -37,6 +39,7 @@ def test_device_data_training_runs_and_checkpoints(tmp_path, capsys):
     assert len(epochs) == 2 and epochs[1] < epochs[0]
 
 
+@pytest.mark.slow
 def test_device_data_sharded_over_mesh(tmp_path, capsys):
     """batch 24 on 8 virtual devices: mesh is built AND the device-resident
     sharded pipeline drives training (driver run_epoch_device, D=8)."""
@@ -56,6 +59,7 @@ def test_device_data_sharded_over_mesh(tmp_path, capsys):
     assert len(epochs) == 2 and epochs[1] < epochs[0]
 
 
+@pytest.mark.slow
 def test_batch100_uses_all_8_devices_dp4_tp2(tmp_path, capsys):
     """VERDICT r2 #2: the flagship default batch 100 on an 8-device slice
     must engage all 8 chips — dp=4 x tp=2 — with the device-resident
@@ -76,6 +80,7 @@ def test_batch100_uses_all_8_devices_dp4_tp2(tmp_path, capsys):
     assert np.isfinite(losses[0])
 
 
+@pytest.mark.slow
 def test_host_path_batch100_dp4_tp2(tmp_path, capsys):
     """--no-device-data under the all-devices mesh policy: host-fed
     batches are placed P("data") over the dp=4 axis while params stay
@@ -96,6 +101,7 @@ def test_host_path_batch100_dp4_tp2(tmp_path, capsys):
     assert np.isfinite(losses[0])
 
 
+@pytest.mark.slow
 def test_device_eval_counts_every_example(tmp_path, capsys):
     """VERDICT r2 #4: the device-resident eval must include the ragged test
     tail. Test set 57, batch 24 on 8 shards -> windows cover 48 rows; the
@@ -168,7 +174,6 @@ def test_device_data_dynamic_masks_chunked_path():
 
 
 import os
-import pytest
 
 
 @pytest.mark.skipif(os.environ.get("MVAE_SLOW_TESTS") != "1",

@@ -5,6 +5,7 @@ and training must reduce the loss on structured synthetic data."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from mvae_tpu.core.engine import multi_term_elbo
@@ -60,6 +61,7 @@ def test_eval_deterministic():
     assert float(a) == float(b)
 
 
+@pytest.mark.slow
 def test_training_decreases_loss():
     model, params, state, _ = _setup()
     imgs, labels = synthetic_mnist(512, seed=7)
@@ -92,6 +94,7 @@ def test_infer_subset_matches_term_masks():
     np.testing.assert_allclose(np.asarray(i_lv), np.asarray(m_lv), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_exact_skip_stateless_decoders_matches_full():
     """Stateless decoders (no BN) are skipped outright for terms with zero
     static recon support — loss, per-term ELBOs, and grads must equal the

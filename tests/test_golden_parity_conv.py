@@ -21,6 +21,7 @@ reshape is channel-minor — weights crossing that boundary are permuted
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -207,6 +208,7 @@ def _celeba_params_from_torch(tm, L):
     return params, state
 
 
+@pytest.mark.slow
 def test_celeba_eval_elbo_matches_torch_reference_flow():
     L = 12
     tm = _TorchCeleba(L)
@@ -383,6 +385,7 @@ def _multimnist_params_from_torch(tm):
     return params, state
 
 
+@pytest.mark.slow
 def test_multimnist_eval_elbo_matches_torch_reference_flow():
     L = 10
     tm = _TorchMultiMnist(L)

@@ -13,12 +13,15 @@ MASKS2 = [[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
 LAMBDAS2 = [[1.0, 10.0]] * 3
 
 
-def _models():
+def _models(mark_heavy=False):
+    """mark_heavy=True tags the conv families `slow` for the fast lane
+    (the mnist MLP case stays as the fast-lane full-step representative;
+    the conv cases each compile a 3-term train step, 7-36 s on this host)."""
     from mvae_tpu.models.mnist import MnistMVAE
     from mvae_tpu.models.fashionmnist import FashionMnistMVAE
     from mvae_tpu.models.multimnist import MultiMnistMVAE
     from mvae_tpu.models.celeba import CelebaMVAE
-    return [
+    rows = [
         ("mnist", MnistMVAE(16),
          {"image": ((784,), jnp.float32), "text": ((), jnp.int32)}),
         ("fashionmnist", FashionMnistMVAE(16),
@@ -28,6 +31,10 @@ def _models():
         ("celeba", CelebaMVAE(16),
          {"image": ((64, 64, 3), jnp.float32), "attrs": ((18,), jnp.float32)}),
     ]
+    if not mark_heavy:
+        return rows
+    return [r if r[0] == "mnist"
+            else pytest.param(*r, marks=pytest.mark.slow) for r in rows]
 
 
 def _batch(spec, b=4, seed=0):
@@ -44,8 +51,8 @@ def _batch(spec, b=4, seed=0):
     return out
 
 
-@pytest.mark.parametrize("name,model,spec",
-                         _models(), ids=lambda x: x if isinstance(x, str) else "")
+@pytest.mark.parametrize("name,model,spec", _models(mark_heavy=True),
+                         ids=lambda x: x if isinstance(x, str) else "")
 def test_shapes_and_one_step(name, model, spec):
     B, L = 4, model.n_latents
     params, state = model.init(jax.random.key(0))
@@ -72,6 +79,7 @@ def test_shapes_and_one_step(name, model, spec):
     assert per_term.shape == (3,)
 
 
+@pytest.mark.slow
 def test_bf16_logits_default_is_bit_identical(monkeypatch):
     """Round-3 default: TRAIN-mode decoder logits stay in the compute
     dtype (nn/dcgan.py:_bf16_logits) instead of materializing f32. This
@@ -137,6 +145,7 @@ def test_tokenizer_roundtrip():
     assert decode_tokens([SOS, FILL, 1, 2]) == "^12"
 
 
+@pytest.mark.slow
 def test_multimnist_generator_deterministic_and_valid():
     import tempfile
     from mvae_tpu.data.multimnist import load_multimnist

@@ -30,6 +30,7 @@ def tiny_celeba(monkeypatch):
     return loader
 
 
+@pytest.mark.slow
 def test_celeba_sample_and_loglike(tmp_path, tiny_celeba):
     from mvae_tpu.models.celeba import CelebaMVAE
     import experiments.celeba.sample as cs
@@ -56,6 +57,7 @@ def test_celeba_sample_rejects_unknown_attribute(tmp_path, tiny_celeba):
         cs.main([ckpt, '--condition-on-attrs', 'NotAnAttribute'])
 
 
+@pytest.mark.slow
 def test_celeba19_sample(tmp_path, tiny_celeba):
     from mvae_tpu.models.celeba19 import Celeba19MVAE
     import experiments.celeba19.sample as c19s
@@ -75,6 +77,7 @@ def test_vision_sample_unconditional(tmp_path):
         assert (tmp_path / "samples" / f"sample_{m}.png").exists()
 
 
+@pytest.mark.slow
 def test_vision_sample_condition_file_all_types(tmp_path):
     """--condition-file/--condition-type: an arbitrary user image is
     re-preprocessed into the requested modality's space (crop 64, gray/
@@ -97,6 +100,7 @@ def test_vision_sample_condition_file_all_types(tmp_path):
                  '--condition-type', 'nonsense'])
 
 
+@pytest.mark.slow
 def test_multimnist_sample(tmp_path, monkeypatch):
     from mvae_tpu.models.multimnist import MultiMnistMVAE
     from mvae_tpu.data.pipeline import ArrayDataset
@@ -119,6 +123,7 @@ def test_multimnist_sample(tmp_path, monkeypatch):
         ms.main([ckpt, '--condition-on-image', '999'])
 
 
+@pytest.mark.slow
 def test_loglike_cli_remaining_families(tmp_path, monkeypatch):
     """loglike.py smoke for the four families not covered elsewhere
     (mnist: tests/test_train_cli.py; celeba: above) — the reference

@@ -77,6 +77,7 @@ def test_reconstruct_roundtrip(sampler):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_warmup_precompiles_endpoints(sampler):
     """warmup() traces every endpoint for the requested buckets without
     error; later calls at covered sizes reuse those compiled graphs."""
@@ -85,6 +86,7 @@ def test_warmup_precompiles_endpoints(sampler):
     assert out["image"].shape == (3, 784)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_serving_matches_single_device(sampler):
     """Sampler(mesh=...) serves the same values as single-device: params
     replicate, request batches shard P("data"), buckets round up to the

@@ -43,6 +43,7 @@ def test_shardmap_eval_exact():
     np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_shardmap_train_step_runs_and_replicas_agree():
     model, params, state, batch = _setup()
     mesh = make_mesh()

@@ -48,6 +48,7 @@ def _global_idxs(local):
 
 
 @pytest.mark.skipif(len(jax.devices()) < D, reason="needs virtual devices")
+@pytest.mark.slow
 def test_sharded_multi_step_equals_single_device():
     mesh = make_mesh(D)
     model = MnistMVAE(8)
@@ -98,6 +99,7 @@ def test_sharded_multi_step_equals_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs virtual devices")
+@pytest.mark.slow
 def test_dp4_tp2_equals_single_device():
     """The round-3 mesh policy's dp x tp decomposition (batch not divisible
     by the device count -> leftover factor shards parameters over "model")

@@ -23,7 +23,12 @@ def _assert_tree_equal(a, b, path=""):
             err_msg=f"leaf {jax.tree_util.keystr(ka)}")
 
 
-@pytest.mark.parametrize("family", sorted(FAMILY_LATENTS))
+@pytest.mark.parametrize(
+    "family",
+    # fast lane keeps the mnist case; the conv families each pay a full
+    # model.init (3-8 s on this host) and run in the `slow` lane
+    [f if f == "mnist" else pytest.param(f, marks=pytest.mark.slow)
+     for f in sorted(FAMILY_LATENTS)])
 def test_export_import_roundtrip_bit_identical(family):
     model = model_ctor(family)(FAMILY_LATENTS[family])
     params, state = model.init(jax.random.key(0))

@@ -223,6 +223,7 @@ def _build_celeba(L):
     return c
 
 
+@pytest.mark.slow
 def test_celeba_import_structure_and_forward():
     tm = _build_celeba(L)
     rng = np.random.default_rng(1)
@@ -349,6 +350,7 @@ def _build_multimnist(L, n_chars, H):
     return c
 
 
+@pytest.mark.slow
 def test_multimnist_import_structure_and_forward():
     from mvae_tpu.data.text import MAX_LENGTH, N_CHARACTERS, SOS
     H = 200
@@ -438,6 +440,7 @@ def _build_celeba19(L, n_attrs=18):
     return c
 
 
+@pytest.mark.slow
 def test_celeba19_import_structure_and_stacked_experts():
     tm = _build_celeba19(L)
     rng = np.random.default_rng(4)
@@ -520,6 +523,7 @@ def test_vision_import_structure_and_one_modality_forward():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_warm_start_training_from_imported_checkpoint(tmp_path, capsys):
     """--resume with a params-only imported checkpoint warm-starts the
     driver (fresh optimizer/PRNG, epoch 1) instead of crashing on the

@@ -6,6 +6,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full train-CLI integration (trains a model)
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from mvae_tpu.core.engine import multi_term_elbo
@@ -22,6 +23,7 @@ def _batch(b=2, seed=0):
             for m in MODALITIES}
 
 
+@pytest.mark.slow
 def test_vision_shapes_and_step():
     model = VisionMVAE(8)
     params, state = model.init(jax.random.key(0))
@@ -40,6 +42,7 @@ def test_vision_shapes_and_step():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_vision_joint_term_matches_reference_formula():
     """joint ELBO == mean(sum_m BCE_m / 6 + beta*KLD) (vision/train.py:57)."""
     model = VisionMVAE(8)

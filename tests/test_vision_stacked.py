@@ -10,6 +10,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # opt-in stacked-vision experiment suite
+
 from mvae_tpu.models.vision import VisionMVAE, MODALITIES, CHANNELS
 from mvae_tpu.train.loop import make_train_step
 
