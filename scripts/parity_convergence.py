@@ -44,6 +44,12 @@ BF16 = os.environ.get("MVAE_PARITY_BF16") == "1"
 # --fast-term-decode (see parity_extra.py); stored under "@fast".
 FAST = os.environ.get("MVAE_PARITY_FAST") == "1"
 
+# MVAE_DECODE_BF16=1 additionally decodes the device-resident uint8
+# images to bf16 targets inside the step (train/loop.py:decode_batch,
+# trace-time read — +5.4% on celeba, BASELINE.md round-4 section).
+# Stored under "@dec" so it never clobbers the canonical/@bf16 rows.
+DECBF16 = os.environ.get("MVAE_DECODE_BF16") == "1"
+
 
 def compute_dtype():
     if not BF16:
@@ -790,6 +796,7 @@ def main():
     store_key = (ns.family
                  + (f"@seed{TRAIN_SEED}" if TRAIN_SEED else "")
                  + ("@bf16" if BF16 else "")
+                 + ("@dec" if DECBF16 else "")
                  + ("@fast" if FAST else ""))
     all_results = load_results()
     result = dict(all_results.get(store_key, {}), **fresh)
