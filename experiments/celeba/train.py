@@ -22,7 +22,10 @@ def main(argv=None):
         # bf16 default: +6-9% steps/sec at the production window with
         # convergence parity at the f32 gap (PARITY_convergence.json
         # celeba@bf16: ELBO/IWAE within 0.05-0.08% of the torch baseline,
-        # same as f32); --f32 restores exact reference numerics
+        # same as f32); bf16 compute also enables bf16 in-step input
+        # decode (+5.4% more; celeba@bf16@dec gap 0.073%, tighter than
+        # @bf16 — train/loop.py:resolve_decode_dtype); --f32 restores
+        # exact reference numerics including f32 decode
         bf16_default=True,
     ).parse_args(argv)
     train_ds = load_celeba(args.data_dir, 'train',

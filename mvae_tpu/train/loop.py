@@ -13,22 +13,36 @@ import optax
 from mvae_tpu.core.engine import multi_term_elbo
 
 
-def decode_batch(batch):
+def decode_batch(batch, dtype=jnp.float32):
     """Device-side input decode: uint8 image tensors stored in HBM become
-    f32 in [0, 1] inside the compiled step (4x less HBM + no per-step host
-    transfer); other dtypes pass through.
+    `dtype` in [0, 1] inside the compiled step (4x less HBM + no per-step
+    host transfer); other dtypes pass through.
 
-    MVAE_DECODE_BF16=1 (trace-time read, opt-in experiment — ROADMAP #2 /
-    VERDICT r3 #10): decode straight to bfloat16 instead, halving the
-    materialized decode write+read. Unlike MVAE_BF16_LOGITS this is NOT
-    bit-identical: the decoded image feeds the loss as the BCE target, and
-    x/255 rounds once in bf16 (targets shift by <= 1 bf16 ulp ~ 0.4%).
-    Measured verdict lives in BASELINE.md."""
-    import os
-    dt = jnp.bfloat16 if os.environ.get("MVAE_DECODE_BF16") == "1" \
-        else jnp.float32
-    return {k: (v.astype(dt) / dt(255.0) if v.dtype == jnp.uint8 else v)
+    dtype=bf16 halves the materialized decode write+read. Unlike
+    MVAE_BF16_LOGITS this is NOT bit-identical: the decoded image feeds the
+    loss as the BCE target, and x/255 rounds once in bf16 (targets shift by
+    <= 1 bf16 ulp ~ 0.4% of a pixel value). Measured +5.4% on celeba and
+    convergence-parity clean (celeba@bf16@dec gap 0.073% vs torch, TIGHTER
+    than @bf16's 0.081%) — see BASELINE.md round-4 section."""
+    return {k: (v.astype(dtype) / dtype(255.0) if v.dtype == jnp.uint8
+                else v)
             for k, v in batch.items()}
+
+
+def resolve_decode_dtype(model):
+    """Step-BUILD-time choice of the in-step input-decode dtype.
+
+    Default follows the model's compute dtype: bf16 compute (the shipped
+    default on every family) decodes targets in bf16, --f32 keeps the
+    exact-numerics promise with f32 decode. MVAE_DECODE_BF16=1/0 pins it
+    either way (trace-time read — flipping the env var after the step is
+    built has no effect, same caveat as MVAE_GROUPED_TERM_LOSS)."""
+    import os
+    env = os.environ.get("MVAE_DECODE_BF16")
+    if env is not None:
+        return jnp.bfloat16 if env == "1" else jnp.float32
+    cd = getattr(model, "compute_dtype", None)
+    return jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
 
 
 def _static_support(term_masks, term_lambdas, recon_masks):
@@ -74,6 +88,7 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
     if recon_support is None and not dynamic_masks:
         recon_support = _static_support(term_masks, term_lambdas,
                                         recon_masks)
+    decode_dt = resolve_decode_dtype(model)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, rng, batch, beta,
@@ -84,7 +99,7 @@ def make_train_step(model, tx, term_masks, term_lambdas, *,
             batch_ = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
         else:
             batch_ = batch
-        batch_ = decode_batch(batch_)
+        batch_ = decode_batch(batch_, decode_dt)
 
         def loss_fn(p):
             total, aux, new_state = multi_term_elbo(
@@ -154,6 +169,7 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
     if recon_support is None and not dynamic_masks:
         recon_support = _static_support(term_masks, term_lambdas,
                                         recon_masks)
+    decode_dt = resolve_decode_dtype(model)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def multi_step(params, state, opt_state, rng, data, idxs, betas,
@@ -166,7 +182,7 @@ def make_multi_train_step(model, tx, term_masks, term_lambdas, *,
                 idx, beta = xs
                 m, lam = static_masks, static_lambdas
             r, sub = jax.random.split(r)
-            batch = decode_batch(gather_local(data, idx))
+            batch = decode_batch(gather_local(data, idx), decode_dt)
 
             def loss_fn(pp):
                 total, aux, new_state = multi_term_elbo(
@@ -198,11 +214,12 @@ def make_multi_eval_step(model, term_masks, term_lambdas, *,
     lambdas = jnp.asarray(term_lambdas, jnp.float32)
     rmasks = None if recon_masks is None else jnp.asarray(recon_masks,
                                                           jnp.float32)
+    decode_dt = resolve_decode_dtype(model)
 
     @jax.jit
     def multi_eval(params, state, data, idxs):
         def body(_, idx):
-            batch = decode_batch(gather_local(data, idx))
+            batch = decode_batch(gather_local(data, idx), decode_dt)
             total, aux, _ = multi_term_elbo(
                 model, params, state, batch, masks, lambdas, None,
                 jnp.float32(1.0), train=False, recon_masks=rmasks)
@@ -221,6 +238,7 @@ def make_eval_step(model, term_masks, term_lambdas, *,
     lambdas = jnp.asarray(term_lambdas, jnp.float32)
     rmasks = None if recon_masks is None else jnp.asarray(recon_masks,
                                                           jnp.float32)
+    decode_dt = resolve_decode_dtype(model)
 
     @jax.jit
     def eval_step(params, state, batch):
@@ -229,7 +247,7 @@ def make_eval_step(model, term_masks, term_lambdas, *,
             batch_ = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
         else:
             batch_ = batch
-        batch_ = decode_batch(batch_)
+        batch_ = decode_batch(batch_, decode_dt)
         total, aux, _ = multi_term_elbo(
             model, params, state, batch_, masks, lambdas, None,
             jnp.float32(1.0), train=False, recon_masks=rmasks)

@@ -44,11 +44,15 @@ BF16 = os.environ.get("MVAE_PARITY_BF16") == "1"
 # --fast-term-decode (see parity_extra.py); stored under "@fast".
 FAST = os.environ.get("MVAE_PARITY_FAST") == "1"
 
-# MVAE_DECODE_BF16=1 additionally decodes the device-resident uint8
-# images to bf16 targets inside the step (train/loop.py:decode_batch,
-# trace-time read — +5.4% on celeba, BASELINE.md round-4 section).
-# Stored under "@dec" so it never clobbers the canonical/@bf16 rows.
-DECBF16 = os.environ.get("MVAE_DECODE_BF16") == "1"
+# bf16 in-step decode of the device-resident uint8 images
+# (train/loop.py:resolve_decode_dtype, +5.4% on celeba, BASELINE.md
+# round-4 section) is the DEFAULT whenever compute is bf16 since the
+# celeba@bf16@dec row came back tighter than @bf16 (0.073% vs 0.081%);
+# MVAE_DECODE_BF16=1/0 pins it. Rows store under "@dec" whenever bf16
+# decode is what actually runs, so they never clobber the historical
+# @bf16 rows (which were measured with f32 decode).
+_dec_env = os.environ.get("MVAE_DECODE_BF16")
+DECBF16 = _dec_env == "1" or (_dec_env is None and BF16)
 
 
 def compute_dtype():

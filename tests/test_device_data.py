@@ -22,6 +22,28 @@ def test_decode_batch_uint8():
     np.testing.assert_allclose(np.asarray(out), v.astype(np.float32) / 255.0)
     f = jnp.ones((2, 3), jnp.float32)
     assert decode_batch({"attrs": f})["attrs"] is f
+    b = decode_batch({"image": jnp.asarray(v)}, jnp.bfloat16)["image"]
+    assert b.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(b, np.float32),
+                               v.astype(np.float32) / 255.0, atol=1 / 255.0)
+
+
+def test_resolve_decode_dtype_follows_compute(monkeypatch):
+    from mvae_tpu.train.loop import resolve_decode_dtype
+
+    class M:
+        compute_dtype = None
+
+    monkeypatch.delenv("MVAE_DECODE_BF16", raising=False)
+    m = M()
+    assert resolve_decode_dtype(m) == jnp.float32       # --f32 path
+    m.compute_dtype = jnp.bfloat16
+    assert resolve_decode_dtype(m) == jnp.bfloat16      # shipped default
+    monkeypatch.setenv("MVAE_DECODE_BF16", "0")
+    assert resolve_decode_dtype(m) == jnp.float32       # explicit pin down
+    m.compute_dtype = None
+    monkeypatch.setenv("MVAE_DECODE_BF16", "1")
+    assert resolve_decode_dtype(m) == jnp.bfloat16      # explicit pin up
 
 
 @pytest.mark.slow
