@@ -35,14 +35,20 @@ def resolve_decode_dtype(model):
     Default follows the model's compute dtype: bf16 compute (the shipped
     default on every family) decodes targets in bf16, --f32 keeps the
     exact-numerics promise with f32 decode. MVAE_DECODE_BF16=1/0 pins it
-    either way (trace-time read — flipping the env var after the step is
-    built has no effect, same caveat as MVAE_GROUPED_TERM_LOSS)."""
+    either way (read when the step is BUILT, before jit tracing — flipping
+    the env var after the step function exists has no effect, same caveat
+    as MVAE_GROUPED_TERM_LOSS)."""
     import os
+    import numpy as np
     env = os.environ.get("MVAE_DECODE_BF16")
     if env is not None:
         return jnp.bfloat16 if env == "1" else jnp.float32
     cd = getattr(model, "compute_dtype", None)
-    return jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
+    # np.dtype-normalize so the string form 'bfloat16' (accepted by Flax
+    # dtype params) resolves the same as the jnp type
+    if cd is not None and np.dtype(cd) == np.dtype(jnp.bfloat16):
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _static_support(term_masks, term_lambdas, recon_masks):

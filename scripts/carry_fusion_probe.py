@@ -38,7 +38,7 @@ import optax
 from mvae_tpu.models.celeba import CelebaMVAE, N_ATTRS
 from mvae_tpu.core.engine import multi_term_elbo
 from mvae_tpu.train.loop import decode_batch, gather_local, \
-    make_multi_train_step
+    make_multi_train_step, resolve_decode_dtype
 
 TERM_MASKS = [[1., 1.], [1., 0.], [0., 1.]]
 TERM_LAMBDAS = [[10.0, 1.0]] * 3
@@ -100,7 +100,11 @@ def make_packed_step(model, tx, packers):
             o = pk_o.join(flat[off_p + off_s:], ob)
             idx, beta = xs
             r, sub = jax.random.split(r)
-            batch = decode_batch(gather_local(data, idx))
+            # match the production step's decode dtype (bf16 under bf16
+            # compute, MVAE_DECODE_BF16 honored) — the probe must bench
+            # the same step configuration make_multi_train_step builds
+            batch = decode_batch(gather_local(data, idx),
+                                 resolve_decode_dtype(model))
 
             def loss_fn(pp):
                 total, aux, new_state = multi_term_elbo(
