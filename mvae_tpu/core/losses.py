@@ -32,6 +32,22 @@ def cross_entropy_with_logits(logits, labels, eps: float = 1e-6):
     return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
 
 
+def bf16_loss_enabled() -> bool:
+    """MVAE_BF16_LOSS=1: compute the BCE ELEMENTWISE math (exp/log1p and
+    the backward's sigmoid) in bfloat16 when the logits already are bf16,
+    accumulating the row sums in f32. Read at trace time (same caveat as
+    MVAE_GROUPED_TERM_LOSS: flipping the env var after a step is compiled
+    has no effect). Unlike MVAE_BF16_LOGITS this CHANGES loss math — the
+    per-element BCE rounds to bf16 before the f32 row accumulation — so a
+    default flip is gated on a convergence-parity row exactly like
+    bf16_logits/decode_bf16 were (BASELINE.md round-5 section records the
+    A/B either way). Motivation: the vision step is 59.7% VPU work
+    dominated by these transcendentals, priced at f32 VPU rate
+    (BASELINE.md vision re-trace)."""
+    import os
+    return os.environ.get("MVAE_BF16_LOSS") == "1"
+
+
 def bce_row_sum(logits, targets):
     """sum(BCE-with-logits, axis=-1) over trailing dim of a 2-D batch.
 
@@ -47,6 +63,12 @@ def bce_row_sum(logits, targets):
             and logits.dtype == jnp.float32):    # kernel is f32-only
         from mvae_tpu import ops
         return ops.bce_sum(logits, targets)
+    if bf16_loss_enabled() and logits.dtype == jnp.bfloat16:
+        # opt-in bf16 elementwise loss math (see bf16_loss_enabled); the
+        # wide row sums still accumulate in f32
+        return jnp.sum(binary_cross_entropy_with_logits(
+            logits, targets.astype(jnp.bfloat16)),
+            axis=-1, dtype=jnp.float32)
     # f32 math regardless of logits dtype: with MVAE_BF16_LOGITS=1 the
     # decoders emit bf16 logits (half the HBM bytes for the largest
     # activation) and the cast fuses into this read — but the 12288-wide

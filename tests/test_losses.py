@@ -4,6 +4,7 @@ import torch
 import torch.nn.functional as F
 
 from mvae_tpu.core.losses import (
+    bce_row_sum,
     binary_cross_entropy_with_logits,
     cross_entropy_with_logits,
     kl_divergence,
@@ -52,6 +53,27 @@ def test_kld_analytic():
     ours = np.asarray(kl_divergence(jnp.asarray(mu), jnp.asarray(lv)))
     want = -0.5 * np.sum(1 + lv - mu ** 2 - np.exp(lv), axis=1)
     np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+
+def test_bce_row_sum_bf16_loss_math(monkeypatch):
+    """MVAE_BF16_LOSS=1 computes the BCE elementwise math in bf16 (when
+    logits are bf16) with f32 row accumulation. The flag must (a) stay
+    within bf16-epsilon of the f32 row sums at production width, (b) emit
+    f32, and (c) be a no-op for f32 logits."""
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((32, 2048)) * 3).astype(np.float32)
+    t = (rng.random((32, 2048)) < 0.5).astype(np.float32)
+    f32 = np.asarray(bce_row_sum(jnp.asarray(x), jnp.asarray(t)))
+
+    monkeypatch.setenv("MVAE_BF16_LOSS", "1")
+    bf = bce_row_sum(jnp.asarray(x, jnp.bfloat16), jnp.asarray(t))
+    assert bf.dtype == jnp.float32
+    # bf16 has ~3 decimal digits; the f32 accumulator keeps row sums tight
+    np.testing.assert_allclose(np.asarray(bf), f32, rtol=2e-3)
+
+    # f32 logits keep exact f32 math even with the flag on
+    same = np.asarray(bce_row_sum(jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_array_equal(same, f32)
 
 
 def test_annealing_schedule():
