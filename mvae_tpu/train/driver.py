@@ -10,6 +10,16 @@ could not resume; SURVEY.md §5).
 Multi-device: if more than one device is visible, batches shard over a
 "data" mesh axis and XLA inserts the gradient collectives (GSPMD). Semantics
 are identical to single-device (tested on the virtual 8-CPU mesh).
+
+Multi-process (multi-host slices, SURVEY.md §2.5): `--distributed` /
+`--coordinator host:port --process-id i --n-processes N` bootstraps
+jax.distributed before the first backend touch; batches are then fed
+per-process (each host materializes only its shard rows,
+parallel/distributed.py) and only process 0 logs/checkpoints. A 2-process
+CPU test asserts global-mesh steps equal the single-process run
+(tests/test_multiprocess.py). Multi-process + tensor-parallel checkpointing
+(non-addressable param shards) is out of scope at this model scale — dp
+keeps params replicated, which is the only shipped multi-process mode.
 """
 
 import jax
@@ -39,6 +49,13 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
     unimodal terms reconstruct all six modalities, vision/train.py:227-283).
     post_epoch: optional fn(epoch, params, state) run after each eval
     (vision's reconstruction-grid dumps, vision/train.py:335-368)."""
+    # Multi-process bootstrap FIRST — jax.distributed.initialize must run
+    # before the first backend touch (model.init below). (0, 1) when the
+    # run is not distributed. Per-host data feeding below keys off n_proc.
+    from mvae_tpu.parallel.distributed import maybe_initialize, global_batch
+    proc_id, n_proc = maybe_initialize(args)
+    coordinator = proc_id == 0
+
     tx = optax.adam(args.lr)
     key = jax.random.key(getattr(args, "seed", 0))
     key, init_key = jax.random.split(key)
@@ -85,6 +102,12 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
         from mvae_tpu.parallel.mesh import shard_params_tp
         n_dp = math.gcd(n_dev, args.batch_size)
         n_tp = n_dev // n_dp
+        if n_proc > 1 and n_tp > 1:
+            raise SystemExit(
+                f"multi-process runs ship data-parallel only (params stay "
+                f"replicated so every host can checkpoint/eval them); pick "
+                f"a --batch-size divisible by the {n_dev} global devices "
+                f"(got {args.batch_size})")
         mesh = make_mesh(n_dev, data=n_dp, model=n_tp)
         rep = replicated(mesh)
         if n_tp > 1:
@@ -101,14 +124,22 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                         and s.mesh == mesh else rep)
             opt_state = jax.tree_util.tree_map(
                 lambda v, t: jax.device_put(v, _sh(t)), opt_state, tmpl)
-            print(f"mesh over all {n_dev} devices: {n_dp}-way data x "
-                  f"{n_tp}-way tensor/expert parallel (batch "
-                  f"{args.batch_size} is not divisible by {n_dev}; the "
-                  f"leftover factor shards parameters, not nothing)")
+            if coordinator:
+                print(f"mesh over all {n_dev} devices: {n_dp}-way data x "
+                      f"{n_tp}-way tensor/expert parallel (batch "
+                      f"{args.batch_size} is not divisible by {n_dev}; the "
+                      f"leftover factor shards parameters, not nothing)")
         else:
+            # multi-process note: device_put of identical host values to a
+            # fully-replicated global sharding is the supported JAX path
+            # (every process calls it with the same bytes — same init key,
+            # same checkpoint)
             params, state, opt_state = jax.device_put(
                 (params, state, opt_state), rep)
-            print(f"data-parallel over all {n_dev} devices")
+            if coordinator:
+                print(f"data-parallel over all {n_dev} devices"
+                      + (f" across {n_proc} processes" if n_proc > 1
+                         else ""))
 
     # Device-resident input pipeline: when the dataset fits an HBM budget,
     # park ALL data on the chip(s) (images as uint8, 4x smaller; decoded to
@@ -135,8 +166,18 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                 v = np.round(v * 255.0).astype(np.uint8)
             v = np.ascontiguousarray(v[:n]).reshape(
                 (n_shards, n // n_shards) + v.shape[1:])
-            out[k] = (jax.device_put(v, batch_sharding(mesh))
-                      if mesh is not None else jax.device_put(v))
+            if mesh is None:
+                out[k] = jax.device_put(v)
+            elif n_proc == 1:
+                out[k] = jax.device_put(v, batch_sharding(mesh))
+            else:
+                # per-host feeding: every process holds the same full
+                # dataset (same loader, same seed); each keeps only its
+                # shard-rows and assembles the global array
+                from mvae_tpu.parallel.distributed import process_rows
+                s = batch_sharding(mesh)
+                lo, hi = process_rows(s, n_shards)
+                out[k] = global_batch(s, v[lo:hi], v.shape)
         return out
 
     device_data = (not getattr(args, "no_device_data", False)
@@ -164,9 +205,10 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
         tail_eval = [None]     # lazily-built ragged-tail eval (one compile)
         shard_note = (f", sharded over {n_shards} chips"
                       if n_shards > 1 else "")
-        print("input pipeline: device-resident "
-              f"({_bytes(train_ds) / 2**20:.0f} MiB on-chip{shard_note}), "
-              f"{args.log_interval} steps/dispatch")
+        if coordinator:
+            print("input pipeline: device-resident "
+                  f"({_bytes(train_ds) / 2**20:.0f} MiB on-chip"
+                  f"{shard_note}), {args.log_interval} steps/dispatch")
     else:
         train_step = L.make_train_step(model, tx, term_masks, term_lambdas,
                                        dynamic_masks=dynamic,
@@ -183,6 +225,9 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
         if mesh is None or n % mesh.shape["data"] != 0:
             return batch          # ragged eval tail: run replicated
         s = batch_sharding(mesh)
+        if n_proc > 1:
+            from mvae_tpu.parallel.distributed import global_batch_tree
+            return global_batch_tree(s, batch, n)
         return {k: jax.device_put(v, s) for k, v in batch.items()}
 
     seed = getattr(args, "seed", 0)
@@ -241,8 +286,9 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
             for v in np.asarray(losses):          # ONE fetch per window
                 meter.update(float(v), B)
             step_i += k
-            L.log_train(epoch, step_i - k, B, len(train_ds), n_batches,
-                        meter.avg, float(betas[0]))
+            if coordinator:
+                L.log_train(epoch, step_i - k, B, len(train_ds), n_batches,
+                            meter.avg, float(betas[0]))
         return params, state, opt_state, rng, step_i
 
     def run_epoch_host(epoch, params, state, opt_state, rng, meter):
@@ -270,8 +316,9 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                 for lo, n in pending:      # bulk sync at the log boundary
                     meter.update(float(lo), n)
                 pending.clear()
-                L.log_train(epoch, step_i, args.batch_size, len(train_ds),
-                            n_batches, meter.avg, beta)
+                if coordinator:
+                    L.log_train(epoch, step_i, args.batch_size,
+                                len(train_ds), n_batches, meter.avg, beta)
             step_i += 1
         for lo, n in pending:
             meter.update(float(lo), n)
@@ -287,10 +334,11 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
             params, state, opt_state, rng, n_steps = run_epoch_host(
                 epoch, params, state, opt_state, rng, meter)
         epoch_dt = _time.perf_counter() - epoch_t0
-        L.log_epoch(epoch, meter.avg)
-        if n_steps > 1 and epoch > start_epoch:   # skip the compile epoch
-            print('====> Throughput: {:.2f} steps/sec'.format(
-                n_steps / epoch_dt))
+        if coordinator:
+            L.log_epoch(epoch, meter.avg)
+            if n_steps > 1 and epoch > start_epoch:  # skip the compile epoch
+                print('====> Throughput: {:.2f} steps/sec'.format(
+                    n_steps / epoch_dt))
 
         test_meter = L.AverageMeter()
         if device_data:
@@ -340,19 +388,23 @@ def run_training(model, train_ds, test_ds, args, term_masks, term_lambdas,
                 eval_pending.append((loss, len(next(iter(b.values())))))
             for lo, n in eval_pending:
                 test_meter.update(float(lo), n)
-        L.log_test(test_meter.avg)
+        if coordinator:
+            L.log_test(test_meter.avg)
 
-        if post_epoch is not None:
+        if post_epoch is not None and coordinator:
             post_epoch(epoch, params, state)
 
         is_best = test_meter.avg < best_loss
         best_loss = min(test_meter.avg, best_loss)
-        save_checkpoint(
-            {"params": params, "state": state, "opt_state": opt_state,
-             "rng": jax.random.key_data(rng)},
-            dict(meta, epoch=epoch, best_loss=best_loss,
-                 test_loss=test_meter.avg),
-            is_best, out_dir)
+        if coordinator:
+            # eval losses are replicated outputs, so best_loss is identical
+            # on every process; only the coordinator touches the filesystem
+            save_checkpoint(
+                {"params": params, "state": state, "opt_state": opt_state,
+                 "rng": jax.random.key_data(rng)},
+                dict(meta, epoch=epoch, best_loss=best_loss,
+                     test_loss=test_meter.avg),
+                is_best, out_dir)
     return params, state
 
 

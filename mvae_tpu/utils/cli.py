@@ -49,6 +49,19 @@ def train_parser(*, n_latents, epochs, annealing_epochs, lr, batch_size=100,
                         'MD5-verified) into --data-dir if missing; degrades '
                         'with a clear message when the environment has no '
                         'egress (data/download.py)')
+    # multi-process (multi-host) bootstrap — parallel/distributed.py. On a
+    # real multi-host TPU slice a bare --distributed suffices (coordinator/
+    # process id inferred from the TPU runtime); elsewhere pin the triple.
+    p.add_argument('--distributed', action='store_true', default=False,
+                   help='jax.distributed.initialize() with TPU-inferred '
+                        'coordinator/process id (multi-host slices)')
+    p.add_argument('--coordinator', type=str, default=None,
+                   help='coordinator host:port for explicit multi-process '
+                        'bootstrap (implies --distributed)')
+    p.add_argument('--process-id', type=int, default=None,
+                   help='this process\'s index [with --coordinator]')
+    p.add_argument('--n-processes', type=int, default=None,
+                   help='total process count [with --coordinator]')
     return p
 
 
