@@ -109,14 +109,28 @@ def tp_spec_tree(params, msize: int, path: str = ""):
 
     * lists/tuples of linear layers (nn.layers.mlp_init stacks) ->
       Megatron column/row pairing (mlp_specs_megatron);
+    * DCGAN posterior heads (nn/dcgan.py:head_init's {"fc", "out"} pair —
+      the flattened-conv fc is the largest matmul in the repo, celeba's
+      6400x512) -> the same column/row pairing: fc column-parallel, out
+      row-parallel, so the 512-wide hidden never leaves the shard and the
+      2L-wide posterior replicates after ONE all-reduce;
     * stacked expert params (path contains "experts", celeba19's 18
       attribute nets) -> leading expert axis over "model" when divisible;
     * everything else (conv kernels, embedding tables, BN params, lone
-      linears) -> replicated.
+      linears) -> replicated. The decoder-side counterpart ("up",
+      L->6400) stays replicated BY CHOICE: it is a lone linear feeding
+      the replicated deconv stack, so column-sharding it buys 1/msize of
+      a small matmul at the price of all-gathering the 6400-wide
+      activation — strictly worse than replicated compute at these sizes.
     """
     if isinstance(params, (list, tuple)) and len(params) > 0 \
             and all(_is_linear(e) for e in params):
         return type(params)(mlp_specs_megatron(params, msize))
+    if (isinstance(params, dict) and set(params) == {"fc", "out"}
+            and _is_linear(params["fc"]) and _is_linear(params["out"])):
+        fc_spec, out_spec = mlp_specs_megatron(
+            [params["fc"], params["out"]], msize)
+        return {"fc": fc_spec, "out": out_spec}
     if isinstance(params, dict):
         return {k: tp_spec_tree(v, msize, f"{path}/{k}")
                 for k, v in params.items()}
