@@ -44,6 +44,24 @@ BF16 = os.environ.get("MVAE_PARITY_BF16") == "1"
 # --fast-term-decode (see parity_extra.py); stored under "@fast".
 FAST = os.environ.get("MVAE_PARITY_FAST") == "1"
 
+# MVAE_PARITY_BATCH=N (celeba only): the ours side TRAINS at batch N while
+# the eval/IWAE protocol keeps the canonical batch, so the row stays
+# comparable to the family baseline. Stored under "@bN". This gates the
+# README throughput-recipes "peak ingestion is bf16 B=400" recommendation:
+# a different batch is a different trajectory (fewer, larger Adam steps at
+# the same lr), so per the repo's promotion discipline the claim needs its
+# own convergence row (VERDICT r4 item 5). MVAE_PARITY_LR overrides the
+# training lr alongside it (stored "@bN@lrX") — the linear-scaling remedy
+# when the fixed-lr @bN row fails the gate.
+TRAIN_BATCH = int(os.environ.get("MVAE_PARITY_BATCH", "0") or "0")
+TRAIN_LR = float(os.environ.get("MVAE_PARITY_LR", "0") or "0")
+
+# MVAE_BF16_LOSS=1 (core/losses.py:bf16_loss_enabled) changes the BCE
+# elementwise math to bf16 — the ours side picks it up automatically at
+# trace time; rows store under "@bf16loss" so the gate for a default flip
+# (BASELINE.md round-5 section; +8.9% on celeba19) has its own key.
+BF16LOSS = os.environ.get("MVAE_BF16_LOSS") == "1"
+
 # bf16 in-step decode of the device-resident uint8 images
 # (train/loop.py:resolve_decode_dtype, +5.4% on celeba, BASELINE.md
 # round-4 section) is the DEFAULT whenever compute is bf16 since the
@@ -470,8 +488,8 @@ def run_ours_celeba(xtr, atr, xte, ate):
     P = CELEBA_PROTOCOL
     train_ds = ArrayDataset({"image": xtr, "attrs": atr})
     test_ds = ArrayDataset({"image": xte, "attrs": ate})
-    args = SimpleNamespace(batch_size=P["batch_size"], lr=P["lr"],
-                           epochs=P["epochs"],
+    args = SimpleNamespace(batch_size=TRAIN_BATCH or P["batch_size"],
+                           lr=TRAIN_LR or P["lr"], epochs=P["epochs"],
                            annealing_epochs=P["annealing_epochs"],
                            log_interval=100, seed=TRAIN_SEED, resume=None)
     model = CelebaMVAE(P["n_latents"], compute_dtype=compute_dtype())
@@ -781,6 +799,10 @@ def main():
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
     ns = ap.parse_args()
+    if (TRAIN_BATCH or TRAIN_LR) and ns.family != "celeba":
+        sys.exit("MVAE_PARITY_BATCH/MVAE_PARITY_LR are wired up for "
+                 "--family celeba only (only run_ours_celeba reads them); "
+                 "refusing to store a mislabeled row")
     protocol, data_fn, ours_fn, torch_fn = FAMILIES[ns.family]
     data = data_fn()
     out_path = os.path.join(os.path.dirname(__file__), "..",
@@ -810,6 +832,9 @@ def main():
                  + ("@bf16" if BF16 else "")
                  + ("@dec" if DECBF16
                     and ns.family not in DECODE_INERT_FAMILIES else "")
+                 + (f"@b{TRAIN_BATCH}" if TRAIN_BATCH else "")
+                 + (f"@lr{TRAIN_LR:g}" if TRAIN_LR else "")
+                 + ("@bf16loss" if BF16LOSS else "")
                  + ("@fast" if FAST else ""))
     all_results = load_results()
     result = dict(all_results.get(store_key, {}), **fresh)
