@@ -105,7 +105,7 @@ FAMILIES = {
 }
 
 
-def bench_family(name, k, reps=3, dtype=None, want_flops=False):
+def bench_family(name, k, reps=3, dtype=None, want_flops=False, fast=False):
     rng = np.random.default_rng(0)
     model, data, masks, lambdas, opts = FAMILIES[name](rng, dtype)
     B = opts.get("batch", 100)
@@ -121,7 +121,8 @@ def bench_family(name, k, reps=3, dtype=None, want_flops=False):
     if dynamic:
         multi = make_multi_train_step(
             model, tx, None, None, dynamic_masks=True,
-            recon_support=opts.get("recon_support"))
+            recon_support=opts.get("recon_support"),
+            fast_skip_decode=fast)
         extra = (jnp.broadcast_to(jnp.asarray(masks, jnp.float32),
                                   (k,) + np.shape(masks)),
                  jnp.broadcast_to(jnp.asarray(lambdas, jnp.float32),
@@ -141,7 +142,7 @@ def bench_family(name, k, reps=3, dtype=None, want_flops=False):
         float(out[4][-1])
         times.append((time.perf_counter() - t0) / k)
     ms = np.asarray(times) * 1e3
-    tag = "bf16" if dtype is not None else "f32"
+    tag = ("bf16" if dtype is not None else "f32") + ("+fast" if fast else "")
     line = (f"{name:13s} {tag:4s} B={B:3d}: {ms.mean():8.3f} "
             f"+- {ms.std():.3f} ms/step ({1e3 / ms.mean():7.1f} steps/sec)")
     if want_flops:
@@ -172,11 +173,14 @@ def main():
     ap.add_argument("--flops", action="store_true",
                     help="also report XLA-counted GFLOP/step and "
                          "sustained TFLOPs")
+    ap.add_argument("--fast", action="store_true",
+                    help="celeba19: bench the --fast-term-decode step "
+                         "(skip image decode in image-absent terms)")
     ns = ap.parse_args()
     for name in ns.families.split(","):
         bench_family(name, ns.k,
                      dtype=jnp.bfloat16 if ns.bf16 else None,
-                     want_flops=ns.flops)
+                     want_flops=ns.flops, fast=ns.fast)
 
 
 if __name__ == "__main__":
