@@ -20,6 +20,19 @@ from mvae_tpu.train.driver import run_training                   # noqa: E402
 from mvae_tpu.utils.cli import train_parser                      # noqa: E402
 
 
+def apply_bf16_loss_default(bf16: bool) -> None:
+    """bf16 BCE elementwise loss math is the celeba19 DEFAULT under bf16
+    compute: +8.9% steps/sec (BASELINE.md round-5 A/B — the 21-term
+    grouped BCE is the repo's densest transcendental block) with the gate
+    row celeba19@bf16@dec@bf16loss at 0.11-0.23% vs the torch baseline,
+    indistinguishable from the control row. Neutral on every other
+    family, so only this CLI flips it. MVAE_BF16_LOSS=0 pins the f32
+    elementwise math; --f32 is unaffected (f32 logits never take the
+    bf16 branch — core/losses.py:bce_row_sum)."""
+    if bf16:
+        os.environ.setdefault("MVAE_BF16_LOSS", "1")
+
+
 def main(argv=None):
     p = train_parser(
         n_latents=100, epochs=100, annealing_epochs=20, lr=1e-4,
@@ -36,6 +49,8 @@ def main(argv=None):
                         'documented divergence from the reference, which '
                         'decodes every modality every term)')
     args = p.parse_args(argv)
+
+    apply_bf16_loss_default(args.bf16)
 
     train_ds = load_celeba(args.data_dir, 'train',
                            download=args.download,

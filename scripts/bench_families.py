@@ -72,6 +72,11 @@ def _celeba19(rng, dtype):
     from mvae_tpu.models.celeba19 import Celeba19MVAE, N_ATTRS
     from mvae_tpu.core.subsets import (celeba19_step_terms,
                                        celeba19_recon_support)
+    if dtype is not None:
+        # match the production CLI: bf16 BCE elementwise math is the
+        # celeba19 default under bf16 compute (experiments/celeba19/
+        # train.py; gate row celeba19@bf16@dec@bf16loss)
+        os.environ.setdefault("MVAE_BF16_LOSS", "1")
     model = Celeba19MVAE(100, compute_dtype=dtype)
     data = {
         "image": (rng.random((1, 2000, 64, 64, 3)) * 255).astype(np.uint8),

@@ -76,6 +76,24 @@ def test_bce_row_sum_bf16_loss_math(monkeypatch):
     np.testing.assert_array_equal(same, f32)
 
 
+def test_celeba19_cli_defaults_bf16_loss(monkeypatch):
+    """The celeba19 train CLI ships MVAE_BF16_LOSS=1 under bf16 compute
+    (gate row celeba19@bf16@dec@bf16loss, +8.9%); a user-pinned value and
+    the --f32 path are left alone."""
+    from experiments.celeba19.train import apply_bf16_loss_default
+    import os
+
+    monkeypatch.delenv("MVAE_BF16_LOSS", raising=False)
+    apply_bf16_loss_default(bf16=False)              # --f32: untouched
+    assert "MVAE_BF16_LOSS" not in os.environ
+    apply_bf16_loss_default(bf16=True)               # default flips on
+    assert os.environ["MVAE_BF16_LOSS"] == "1"
+
+    monkeypatch.setenv("MVAE_BF16_LOSS", "0")        # user pin wins
+    apply_bf16_loss_default(bf16=True)
+    assert os.environ["MVAE_BF16_LOSS"] == "0"
+
+
 def test_annealing_schedule():
     # epoch 1, batch 0, N=600, annealing 200 (mnist/train.py:182-183)
     assert annealing_factor(1, 0, 600, 200) == 1.0 / (200 * 600)
