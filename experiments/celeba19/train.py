@@ -20,7 +20,7 @@ from mvae_tpu.train.driver import run_training                   # noqa: E402
 from mvae_tpu.utils.cli import train_parser                      # noqa: E402
 
 
-def apply_bf16_loss_default(bf16: bool) -> None:
+def apply_bf16_loss_default(bf16: bool, fast_term_decode: bool = False) -> None:
     """bf16 BCE elementwise loss math is the celeba19 DEFAULT under bf16
     compute: +8.9% steps/sec (BASELINE.md round-5 A/B — the 21-term
     grouped BCE is the repo's densest transcendental block) with the gate
@@ -28,8 +28,14 @@ def apply_bf16_loss_default(bf16: bool) -> None:
     indistinguishable from the control row. Neutral on every other
     family, so only this CLI flips it. MVAE_BF16_LOSS=0 pins the f32
     elementwise math; --f32 is unaffected (f32 logits never take the
-    bf16 branch — core/losses.py:bce_row_sum)."""
-    if bf16:
+    bf16 branch — core/losses.py:bce_row_sum).
+
+    NOT applied under --fast-term-decode: fast mode already deletes the
+    transcendental volume the bf16 math speeds up (measured neutral,
+    319.8/s either way — BASELINE.md), so flipping it there would change
+    numerics vs the gated celeba19@fast row for zero win. Explicit
+    MVAE_BF16_LOSS=1 still composes if a user wants it."""
+    if bf16 and not fast_term_decode:
         os.environ.setdefault("MVAE_BF16_LOSS", "1")
 
 
@@ -50,7 +56,7 @@ def main(argv=None):
                         'decodes every modality every term)')
     args = p.parse_args(argv)
 
-    apply_bf16_loss_default(args.bf16)
+    apply_bf16_loss_default(args.bf16, args.fast_term_decode)
 
     train_ds = load_celeba(args.data_dir, 'train',
                            download=args.download,

@@ -72,11 +72,6 @@ def _celeba19(rng, dtype):
     from mvae_tpu.models.celeba19 import Celeba19MVAE, N_ATTRS
     from mvae_tpu.core.subsets import (celeba19_step_terms,
                                        celeba19_recon_support)
-    if dtype is not None:
-        # match the production CLI: bf16 BCE elementwise math is the
-        # celeba19 default under bf16 compute (experiments/celeba19/
-        # train.py; gate row celeba19@bf16@dec@bf16loss)
-        os.environ.setdefault("MVAE_BF16_LOSS", "1")
     model = Celeba19MVAE(100, compute_dtype=dtype)
     data = {
         "image": (rng.random((1, 2000, 64, 64, 3)) * 255).astype(np.uint8),
@@ -111,6 +106,11 @@ FAMILIES = {
 
 
 def bench_family(name, k, reps=3, dtype=None, want_flops=False, fast=False):
+    if name == "celeba19" and dtype is not None and not fast:
+        # match the production CLI default (experiments/celeba19/train.py:
+        # apply_bf16_loss_default — bf16 BCE elementwise math, gate row
+        # celeba19@bf16@dec@bf16loss; not applied under fast mode)
+        os.environ.setdefault("MVAE_BF16_LOSS", "1")
     rng = np.random.default_rng(0)
     model, data, masks, lambdas, opts = FAMILIES[name](rng, dtype)
     B = opts.get("batch", 100)

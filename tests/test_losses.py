@@ -89,6 +89,11 @@ def test_celeba19_cli_defaults_bf16_loss(monkeypatch):
     apply_bf16_loss_default(bf16=True)               # default flips on
     assert os.environ["MVAE_BF16_LOSS"] == "1"
 
+    monkeypatch.delenv("MVAE_BF16_LOSS", raising=False)
+    apply_bf16_loss_default(bf16=True, fast_term_decode=True)
+    assert "MVAE_BF16_LOSS" not in os.environ      # fast mode: no win,
+    # keep the gated celeba19@fast row's exact numerics
+
     monkeypatch.setenv("MVAE_BF16_LOSS", "0")        # user pin wins
     apply_bf16_loss_default(bf16=True)
     assert os.environ["MVAE_BF16_LOSS"] == "0"
