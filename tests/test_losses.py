@@ -76,27 +76,38 @@ def test_bce_row_sum_bf16_loss_math(monkeypatch):
     np.testing.assert_array_equal(same, f32)
 
 
-def test_celeba19_cli_defaults_bf16_loss(monkeypatch):
+def test_celeba19_cli_defaults_bf16_loss():
     """The celeba19 train CLI ships MVAE_BF16_LOSS=1 under bf16 compute
-    (gate row celeba19@bf16@dec@bf16loss, +8.9%); a user-pinned value and
-    the --f32 path are left alone."""
+    (gate row celeba19@bf16@dec@bf16loss, +8.9%); a user-pinned value,
+    the --f32 path, and --fast-term-decode are left alone.
+
+    NOTE: apply_bf16_loss_default mutates os.environ directly (that IS
+    the behavior under test), so monkeypatch's bookkeeping can't restore
+    it — save/restore by hand or the "1" leaks into later tests (it
+    broke test_bf16_logits_default_is_bit_identical once)."""
     from experiments.celeba19.train import apply_bf16_loss_default
     import os
 
-    monkeypatch.delenv("MVAE_BF16_LOSS", raising=False)
-    apply_bf16_loss_default(bf16=False)              # --f32: untouched
-    assert "MVAE_BF16_LOSS" not in os.environ
-    apply_bf16_loss_default(bf16=True)               # default flips on
-    assert os.environ["MVAE_BF16_LOSS"] == "1"
+    saved = os.environ.pop("MVAE_BF16_LOSS", None)
+    try:
+        apply_bf16_loss_default(bf16=False)          # --f32: untouched
+        assert "MVAE_BF16_LOSS" not in os.environ
+        apply_bf16_loss_default(bf16=True)           # default flips on
+        assert os.environ["MVAE_BF16_LOSS"] == "1"
 
-    monkeypatch.delenv("MVAE_BF16_LOSS", raising=False)
-    apply_bf16_loss_default(bf16=True, fast_term_decode=True)
-    assert "MVAE_BF16_LOSS" not in os.environ      # fast mode: no win,
-    # keep the gated celeba19@fast row's exact numerics
+        os.environ.pop("MVAE_BF16_LOSS")
+        apply_bf16_loss_default(bf16=True, fast_term_decode=True)
+        assert "MVAE_BF16_LOSS" not in os.environ    # fast mode: no win,
+        # keep the gated celeba19@fast row's exact numerics
 
-    monkeypatch.setenv("MVAE_BF16_LOSS", "0")        # user pin wins
-    apply_bf16_loss_default(bf16=True)
-    assert os.environ["MVAE_BF16_LOSS"] == "0"
+        os.environ["MVAE_BF16_LOSS"] = "0"           # user pin wins
+        apply_bf16_loss_default(bf16=True)
+        assert os.environ["MVAE_BF16_LOSS"] == "0"
+    finally:
+        if saved is None:
+            os.environ.pop("MVAE_BF16_LOSS", None)
+        else:
+            os.environ["MVAE_BF16_LOSS"] = saved
 
 
 def test_annealing_schedule():
