@@ -181,12 +181,15 @@ import os
                            "(64x64 conv grads; invariant to config size); "
                            "set MVAE_SLOW_TESTS=1 — verified passing "
                            "2026-08-18 incl. expert-gather decode, 385s")
-def test_device_data_celeba19_dynamic_masks(tmp_path, capsys):
+def test_device_data_celeba19_dynamic_masks(tmp_path, capsys, monkeypatch):
     """The chunked path must also handle per-step (K,T,M) sampled masks."""
     from experiments.celeba19 import train as c19_train
     from mvae_tpu.data.celeba import synthetic_celeba
     c19_train.load_celeba = lambda root, part, **kw: synthetic_celeba(
         50, seed=0 if part == 'train' else 1)
+    # main() setdefaults MVAE_BF16_LOSS under bf16 (its celeba19 default);
+    # pin it so the flag can't leak into later tests in this process
+    monkeypatch.setenv("MVAE_BF16_LOSS", "1")
     c19_train.main(['--epochs', '1', '--batch-size', '25',
                     '--annealing-epochs', '1', '--n-latents', '8',
                     '--log-interval', '2', '--approx-m', '2',
