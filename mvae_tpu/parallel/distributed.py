@@ -29,6 +29,16 @@ Design (the scaling-book recipe, nothing exotic):
   order), process p of P owns the contiguous row block
   [p*n/P, (p+1)*n/P) — asserted against the sharding's addressable devices
   rather than assumed.
+
+Multi-process ships DATA-PARALLEL ONLY (train/driver.py raises a clear
+SystemExit otherwise). That is a layout decision, not a gap: tensor/
+expert-parallel collectives are latency-bound per-layer all-reduces that
+belong on ICI inside a host/slice — spanning them across processes puts
+them on DCN, the scaling-book anti-pattern. On a multi-host slice the
+right decomposition is tp/ep within each host's devices and dp across
+hosts; at this model scale (<25M params, replicated in every process)
+pure dp across processes is both the simple and the fast layout, and it
+keeps checkpoints/eval host-local.
 """
 
 import jax
